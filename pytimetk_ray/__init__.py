@@ -1,0 +1,46 @@
+"""pytimetk_ray — a Ray-Data-native time-series rollup / downsample / retention engine.
+
+A from-scratch engine with the query and transform semantics of
+business-science/pytimetk (reference studied at /root/reference), re-expressed
+Ray-Data-first: ``ray.data.Dataset`` pipelines, zero-copy Arrow batches in
+``map_batches``, hash-partitioned per-conversation group kernels, actor pools
+for stateful stages (tier codecs, model workers), and streaming execution.
+
+The library NEVER calls ``ray.init()`` — sessions are owned by the caller
+(driver, tests' conftest fixture, bench.py).
+"""
+
+from pytimetk_ray.ops.summarize_by_time import summarize_by_time
+from pytimetk_ray.ops.pad_by_time import pad_by_time
+from pytimetk_ray.ops.filter_by_time import filter_by_time
+from pytimetk_ray.ops.shifts import augment_lags, augment_leads, augment_diffs, augment_pct_change
+from pytimetk_ray.ops.rolling import augment_rolling
+from pytimetk_ray.ops.expanding import augment_expanding
+from pytimetk_ray.ops.ewm import augment_ewm
+from pytimetk_ray.ops.ts_summary import ts_summary
+from pytimetk_ray.ops.future_frame import future_frame
+from pytimetk_ray.ops.signature import augment_timeseries_signature
+from pytimetk_ray.ops.apply_by_time import apply_by_time
+from pytimetk_ray.ops.anomalize import anomalize
+from pytimetk_ray.ops.fourier import augment_fourier
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "summarize_by_time",
+    "pad_by_time",
+    "filter_by_time",
+    "augment_lags",
+    "augment_leads",
+    "augment_diffs",
+    "augment_pct_change",
+    "augment_rolling",
+    "augment_expanding",
+    "augment_ewm",
+    "ts_summary",
+    "future_frame",
+    "augment_timeseries_signature",
+    "apply_by_time",
+    "anomalize",
+    "augment_fourier",
+]

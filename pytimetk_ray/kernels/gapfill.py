@@ -1,0 +1,164 @@
+"""Gap-fill kernel: regularize irregular per-group series onto a frequency
+grid — the compute core of ``pad_by_time``.
+
+Reference semantics (src/pytimetk/core/pad.py:360-446, read for behavior, not
+code): per group, grid = ``date_range(min..max or explicit bounds, freq)``;
+original rows are re-indexed onto the grid (off-grid rows drop, like pandas
+``reindex``); group-key columns are filled with the key; ``fillna`` scalar
+fills all other columns' new rows; with ``fillna=None`` new rows stay null
+EXCEPT columns constant within the group (``nunique(dropna=False)==1``),
+which are forward-filled (pad.py:390-399,427-438).
+
+This kernel is vectorized ACROSS groups: one ``np.repeat``/``cumsum`` pass
+builds every group's grid at once, one scatter places original rows — no
+per-group ``date_range`` loop (fixed-width frequencies; calendar units fall
+back to a per-group path).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pytimetk_ray.exec import group_starts
+from pytimetk_ray.freq import Freq, parse_freq
+
+
+def _np_unit(dtype) -> str:
+    # 'datetime64[us]' -> 'us'
+    s = str(dtype)
+    return s[s.index("[") + 1 : s.index("]")]
+
+
+def pad_groups(
+    part: pd.DataFrame,
+    group_keys: Sequence[str],
+    date_column: str,
+    freq: str | Freq,
+    *,
+    start_date=None,
+    end_date=None,
+    fillna=None,
+) -> pd.DataFrame:
+    """Pad every group in ``part`` (pre-sorted by group_keys+date) to a dense
+    grid.  Returns a frame with the same columns."""
+    f = parse_freq(freq)
+    group_keys = list(group_keys)
+    if f.is_calendar:
+        return _pad_calendar(part, group_keys, date_column, f, start_date, end_date, fillna)
+
+    n = len(part)
+    if n == 0:
+        return part
+
+    ts_np = part[date_column].to_numpy()
+    unit = _np_unit(ts_np.dtype)
+    ts = ts_np.astype(np.int64)
+    step = f.step(unit)
+
+    # group codes over the sorted frame
+    if group_keys:
+        codes = pd.factorize(
+            pd.MultiIndex.from_frame(part[group_keys]) if len(group_keys) > 1 else part[group_keys[0]],
+            sort=False,
+        )[0]
+    else:
+        codes = np.zeros(n, dtype=np.int64)
+    starts = group_starts(codes)
+    ends = np.append(starts[1:], n) - 1
+    g = len(starts)
+
+    lo = np.full(g, _to_i64(start_date, unit), dtype=np.int64) if start_date is not None else ts[starts]
+    hi = np.full(g, _to_i64(end_date, unit), dtype=np.int64) if end_date is not None else ts[ends]
+    counts = np.maximum((hi - lo) // step + 1, 0)
+    total = int(counts.sum())
+
+    grid_gidx = np.repeat(np.arange(g, dtype=np.int64), counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    within = np.arange(total, dtype=np.int64) - offsets[grid_gidx]
+    grid_ts = lo[grid_gidx] + within * step
+
+    # scatter original rows onto the grid (off-grid / out-of-bounds drop)
+    rel = ts - lo[codes]
+    on = (rel >= 0) & (rel % step == 0) & (ts <= hi[codes]) & (counts[codes] > 0)
+    pos = offsets[codes] + np.where(on, rel // step, 0)
+
+    out = {}
+    out[date_column] = grid_ts.astype(f"datetime64[{unit}]")
+    row_of_group_first = starts  # for key columns
+    for col in part.columns:
+        if col == date_column:
+            continue
+        if col in group_keys:
+            out[col] = part[col].to_numpy()[row_of_group_first][grid_gidx]
+            continue
+        src = part[col].to_numpy()
+        if src.dtype.kind in "iuf":
+            dst = np.full(total, np.nan, dtype=np.float64)
+            dst[pos[on]] = src[on].astype(np.float64)
+        elif src.dtype.kind == "M":
+            dst = np.full(total, np.datetime64("NaT"), dtype=src.dtype)
+            dst[pos[on]] = src[on]
+        else:
+            dst = np.full(total, None, dtype=object)
+            dst[pos[on]] = src[on]
+        out[col] = dst
+
+    padded = pd.DataFrame(out, columns=list(part.columns))
+
+    other = [c for c in part.columns if c != date_column and c not in group_keys]
+    if fillna is not None:
+        padded[other] = padded[other].fillna(fillna)
+        return padded
+
+    # constant-column forward fill, per group, per reference semantics
+    if other and g > 0:
+        nun = part.groupby(codes, sort=False)[other].nunique(dropna=False)
+        for col in other:
+            const_groups = nun.index[nun[col].to_numpy() == 1].to_numpy()
+            if len(const_groups) == 0:
+                continue
+            is_const_row = np.isin(grid_gidx, const_groups)
+            if not is_const_row.any():
+                continue
+            ff = padded.groupby(grid_gidx, sort=False)[col].ffill()
+            padded[col] = padded[col].where(~is_const_row, ff)
+    return padded
+
+
+def _to_i64(value, unit: str) -> int:
+    return int(np.datetime64(pd.Timestamp(value), unit).astype(np.int64))
+
+
+def _pad_calendar(part, group_keys, date_column, f: Freq, start_date, end_date, fillna):
+    """Calendar-frequency fallback: per-group pandas date_range reindex."""
+    freq_str = f"{f.n}{'MS' if f.unit == 'M' else 'QS' if f.unit == 'Q' else 'YS'}"
+    frames = []
+    grouped = part.groupby(group_keys, sort=False) if group_keys else [((), part)]
+    for keys, gdf in grouped:
+        if not isinstance(keys, tuple):
+            keys = (keys,)
+        lo = pd.Timestamp(start_date) if start_date is not None else gdf[date_column].min()
+        hi = pd.Timestamp(end_date) if end_date is not None else gdf[date_column].max()
+        grid = pd.date_range(lo, hi, freq=freq_str)
+        padded = (
+            gdf.set_index(date_column)
+            .reindex(grid)
+            .reset_index()
+            .rename(columns={"index": date_column})
+        )
+        for k, v in zip(group_keys, keys):
+            padded[k] = v
+        other = [c for c in part.columns if c != date_column and c not in group_keys]
+        if fillna is not None:
+            padded[other] = padded[other].fillna(fillna)
+        else:
+            const = [c for c in other if gdf[c].nunique(dropna=False) == 1]
+            if const:
+                padded[const] = padded[const].ffill()
+        frames.append(padded[list(part.columns)])
+    if not frames:
+        return part.head(0)
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,87 @@
+"""augment_rolling — per-group rolling window aggregates.
+
+Reference semantics (src/pytimetk/feature_engineering/rolling.py:43-65):
+windows int / tuple-range / list; funcs builtin strings or named-lambda
+tuples ``("name", fn)``; ``min_periods`` defaults to the window size;
+``center`` supported; column template ``{col}_rolling_{func}_win_{w}``
+(rolling.py:652,739 — reproduced verbatim, incl. quantile ->
+``{col}_rolling_quantile_50_win_{w}``).
+
+Execution: one hash-partitioned task per partition runs pandas
+``groupby(...).rolling(...)`` over ALL groups in the partition at C speed —
+versus the reference's one-Ray-task-per-group with driver-side group
+materialization (rolling.py:567-604).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+
+import ray.data as rd
+
+from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
+
+_BUILTINS = {"mean", "sum", "min", "max", "std", "var", "count", "median"}
+
+
+def _norm_windows(spec) -> list[int]:
+    if isinstance(spec, int):
+        return [spec]
+    if isinstance(spec, tuple):
+        return list(range(spec[0], spec[1] + 1))
+    return list(spec)
+
+
+def augment_rolling(
+    ds: rd.Dataset,
+    group_keys: Sequence[str],
+    order_by: Sequence[str],
+    value_columns: str | Sequence[str],
+    *,
+    window=2,
+    window_func="mean",
+    min_periods: int | None = None,
+    center: bool = False,
+    quantile: float = 0.5,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> rd.Dataset:
+    """Append ``{col}_rolling_{func}_win_{w}`` columns.
+
+    ``window_func``: builtin name, ``"quantile"`` (uses ``quantile=``, column
+    suffix ``quantile_{int(q*100)}``), a ``("name", callable)`` tuple, or a
+    list mixing these.  ``min_periods`` defaults to the window size (rows
+    before the window fills are null) — the reference's default.
+    """
+    cols = [value_columns] if isinstance(value_columns, str) else list(value_columns)
+    windows = _norm_windows(window)
+    funcs = window_func if isinstance(window_func, list) else [window_func]
+    group_keys = list(group_keys)
+    order_by = list(order_by)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(group_keys, sort=False, group_keys=False)
+        for col in cols:
+            for w in windows:
+                mp = w if min_periods is None else min_periods
+                roll = g[col].rolling(window=w, min_periods=mp, center=center)
+                for f in funcs:
+                    if isinstance(f, tuple):
+                        name, fn = f
+                        vals = roll.apply(fn, raw=True)
+                        out_name = f"{col}_rolling_{name}_win_{w}"
+                    elif f == "quantile":
+                        vals = roll.quantile(quantile)
+                        out_name = f"{col}_rolling_quantile_{int(quantile * 100)}_win_{w}"
+                    elif f in _BUILTINS:
+                        vals = getattr(roll, f)()
+                        out_name = f"{col}_rolling_{f}_win_{w}"
+                    else:
+                        raise ValueError(f"unsupported window_func {f!r}")
+                    part[out_name] = vals.reset_index(drop=True).to_numpy()
+        return part
+
+    return partitioned_group_map(
+        ds, group_keys, kernel, sort_by=group_keys + order_by, num_partitions=num_partitions
+    )
