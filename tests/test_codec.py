@@ -1,0 +1,71 @@
+"""Codec round-trip bit-equality (FIXTURES.md `codec_vectors`)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pytimetk_ray.codec import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+
+
+def roundtrip_f(v):
+    v = np.asarray(v, dtype=np.float64)
+    out = gorilla_decode(gorilla_encode(v), len(v))
+    np.testing.assert_array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+def roundtrip_t(t):
+    t = np.asarray(t, dtype=np.int64)
+    np.testing.assert_array_equal(t, dod_decode(dod_encode(t), len(t)))
+
+
+def test_gorilla_basic_vectors():
+    roundtrip_f([])
+    roundtrip_f([0.0])
+    roundtrip_f([1.5, 1.5, 1.5, 1.5])                      # constants -> 1 bit each
+    roundtrip_f(np.linspace(0, 1, 257))                    # monotone ramp
+    roundtrip_f([np.nan, np.inf, -np.inf, 0.0, -0.0, 5e-324, 1.7976931348623157e308])
+    rng = np.random.default_rng(3)
+    roundtrip_f(rng.normal(size=1000) * 10.0 ** rng.integers(-10, 10, size=1000))
+
+
+def test_gorilla_nan_payload_preserved():
+    weird_nan = np.frombuffer(np.uint64(0x7FF8DEADBEEF0001).tobytes(), dtype=np.float64)
+    out = gorilla_decode(gorilla_encode(weird_nan), 1)
+    assert out.view(np.uint64)[0] == 0x7FF8DEADBEEF0001
+
+
+def test_gorilla_compresses_constants():
+    v = np.full(10_000, 42.5)
+    blob = gorilla_encode(v)
+    assert len(blob) < 10_000 / 4  # ~1 bit/point after the first
+
+
+def test_dod_vectors():
+    roundtrip_t([])
+    roundtrip_t([17])
+    roundtrip_t(np.arange(0, 10_000_000, 60_000_000)[:100])  # regular 60s in us
+    base = np.int64(1_700_000_000_000_000)
+    rng = np.random.default_rng(4)
+    gaps = rng.integers(1, 10**9, size=500)
+    roundtrip_t(base + np.cumsum(gaps))
+    roundtrip_t([5, 5, 5, 5])                                # repeated timestamps
+    roundtrip_t([-(2**62), 0, 2**62])                        # extreme jumps
+
+
+def test_dod_compresses_regular_grid():
+    t = np.arange(0, 60_000_000 * 10_000, 60_000_000, dtype=np.int64)
+    blob = dod_encode(t)
+    assert len(blob) < 10_000 / 4  # ~1 bit/point on a perfect grid
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=60))
+def test_gorilla_property(vals):
+    roundtrip_f(vals)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
+def test_dod_property(vals):
+    roundtrip_t(vals)
