@@ -51,6 +51,7 @@ def partitioned_group_map(
     sort_by: Sequence[str] | None = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     batch_format: str = "pandas",
+    with_partition_id: bool = False,
 ) -> rd.Dataset:
     """Apply ``fn`` to each hash partition (many whole groups per call).
 
@@ -67,10 +68,11 @@ def partitioned_group_map(
         return _hash_partition_batch(batch, keys, num_partitions)
 
     def run_partition(part: pd.DataFrame) -> pd.DataFrame:
+        pid = int(part[PART_COL].iloc[0]) if len(part) else 0
         part = part.drop(columns=[PART_COL])
         if sort_cols:
             part = part.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-        out = fn(part)
+        out = fn(part, pid) if with_partition_id else fn(part)
         return out
 
     return (

@@ -39,17 +39,21 @@ TIER_SCHEMA = pa.schema(
 )
 
 # Compressed checkpoint chunk: one row per (conv_id, tier) series chunk.
-# ts_blob = delta-of-delta bitstream, val_blob = Gorilla XOR bitstream
-# (public algorithms: Pelkonen et al., "Gorilla", VLDB 2015 §4.1).
+# ts_blob = delta-of-delta bitstream over ts // ts_scale; one Gorilla XOR
+# bitstream per value column (public algorithms: Pelkonen et al., "Gorilla",
+# VLDB 2015 §4.1).  Multiple chunks per conv compose by start_ts.
 CHUNK_SCHEMA = pa.schema(
     [
         pa.field("conv_id", pa.string()),
         pa.field("tier", pa.string()),
-        pa.field("column", pa.string()),
         pa.field("start_ts", pa.timestamp("us")),
         pa.field("n_points", pa.int64()),
+        pa.field("ts_scale", pa.int64()),
         pa.field("ts_blob", pa.binary()),
-        pa.field("val_blob", pa.binary()),
+        pa.field("value_sum_blob", pa.binary()),
+        pa.field("value_count_blob", pa.binary()),
+        pa.field("value_min_blob", pa.binary()),
+        pa.field("value_max_blob", pa.binary()),
     ]
 )
 

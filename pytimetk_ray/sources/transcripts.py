@@ -1,0 +1,103 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md F1).
+
+The north-star input table (BASELINE.json ``input_hint``):
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us])``.  Generated with a fixed seed, no wall clock:
+
+- Zipf-ish turn counts so a few conversations are *hot* (exercises salting)
+- rows emitted in shuffled order (the engine must restore stable turn order)
+- text includes non-ASCII, embedded newlines and quotes (byte-identity target)
+- per-conv ts = t0 + cumsum(gaps), log-uniform 2s..15min gaps with seeded
+  dropout windows > 1h so 1-minute grids have holes (exercises pad_by_time)
+
+A derived numeric ``value = f(text_len, role)`` feeds the aggregate kernels,
+mirroring pytimetk's value_column convention
+(reference: src/pytimetk/core/summarize_by_time.py:46).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_ROLES = np.array(["user", "assistant", "tool"])
+_TOOLS = np.array(["", "bash", "search", "browser", "python", "editor", "fetch", "calc", "sql"])
+_WORDS = np.array(
+    [
+        "the", "agent", "ran", "query", "résumé", "naïve", "data", "Straße",
+        "shuffle", 'said "ok"', "line\nbreak", "token", "λ-calculus", "日本語",
+        "tab\there", "O'Brien", "emoji✨", "null", "backslash\\path", "quote'd",
+    ]
+)
+
+
+def make_transcripts(
+    n_convs: int = 200,
+    *,
+    seed: int = 7,
+    mean_turns: int = 40,
+    hot_conv_factor: int = 50,
+) -> pd.DataFrame:
+    """Deterministic transcript frame; row order is shuffled."""
+    rng = np.random.default_rng(seed)
+    # Zipf-ish turn counts; conv 0 is the hot one
+    turns = np.maximum(rng.zipf(1.5, size=n_convs) * 2, 3)
+    turns = np.minimum(turns, mean_turns * 10)
+    turns[0] = mean_turns * hot_conv_factor  # hot conversation
+    total = int(turns.sum())
+
+    conv_ids = np.repeat([f"conv{i:06d}" for i in range(n_convs)], turns)
+    turn_idx = np.concatenate([np.arange(t, dtype=np.int32) for t in turns])
+
+    roles = _ROLES[rng.integers(0, 3, size=total)]
+    tools = _TOOLS[rng.integers(0, len(_TOOLS), size=total)]
+
+    # text: seeded token soup with non-ASCII / newlines / quotes
+    n_words = np.maximum((rng.normal(12, 8, size=total)).astype(int), 1)
+    word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+    bounds = np.cumsum(n_words)[:-1]
+    texts = [" ".join(chunk) for chunk in np.split(_WORDS[word_idx], bounds)]
+
+    # ts: per-conv cumsum of log-uniform gaps (2s..15min) + dropout >1h
+    gaps = np.exp(rng.uniform(np.log(2.0), np.log(900.0), size=total))
+    dropout = rng.random(total) < 0.02
+    gaps[dropout] += rng.uniform(3600, 4 * 3600, size=int(dropout.sum()))
+    gaps_us = (gaps * 1e6).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(turns)[:-1]])
+    cum = np.cumsum(gaps_us)
+    base = np.repeat(cum[starts] - gaps_us[starts], turns)
+    rel = cum - base
+    t0 = np.int64(pd.Timestamp("2025-01-01").value // 1000)  # us
+    conv_offset = np.repeat(rng.integers(0, 30 * 86_400_000_000, size=n_convs), turns)
+    ts = t0 + conv_offset + rel
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": texts,
+            "tool": tools,
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+    # shuffled arrival order — engine must restore (conv_id, turn_idx) order
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def add_value_column(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic numeric value column: f(text length, role)."""
+    role_w = df["role"].map({"user": 1.0, "assistant": 2.5, "tool": 0.5})
+    df = df.copy()
+    df["value"] = df["text"].str.len().astype(np.float64) * role_w
+    return df
+
+
+def write_transcripts(path: str, n_convs: int = 200, seed: int = 7, **kw) -> str:
+    import pyarrow.parquet as pq
+
+    df = add_value_column(make_transcripts(n_convs, seed=seed, **kw))
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(tbl, path)
+    return path

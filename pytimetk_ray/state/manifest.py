@@ -1,0 +1,117 @@
+"""Per-partition lineage manifests: checkpointed tier outputs + resume.
+
+Same spirit as the reference FeatureStore's sha256 cache-key short-circuit
+(reference: src/pytimetk/feature_store/store.py:99-103,381-398 — a build is
+skipped when the fingerprint matches), re-designed for partitioned Parquet:
+
+- each tier writes ``{out}/tier={tier}/part={pid:05d}.parquet`` atomically
+  (temp file + ``os.replace``), then commits
+  ``{out}/_manifests/{tier}/part={pid:05d}.json`` with
+  ``{partition_id, tier, input_fingerprint, row_count, content_hash,
+  status="committed"}``
+- resume = read the manifest dir, skip partitions whose manifest is committed
+  AND whose input fingerprint matches (a changed input invalidates the
+  checkpoint)
+- the manifest is written LAST, so a crash mid-write leaves an uncommitted
+  partition that simply recomputes — idempotent because the data path is
+  deterministic for a given (partition, input fingerprint)
+
+Failed runs therefore skip finished partitions; nothing is ever one giant
+file (BASELINE.md resume criterion).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+import pandas as pd
+
+
+def _manifest_dir(out_dir: str, tier: str) -> str:
+    return os.path.join(out_dir, "_manifests", tier)
+
+
+def partition_path(out_dir: str, tier: str, pid: int) -> str:
+    return os.path.join(out_dir, f"tier={tier}", f"part={pid:05d}.parquet")
+
+
+def manifest_path(out_dir: str, tier: str, pid: int) -> str:
+    return os.path.join(_manifest_dir(out_dir, tier), f"part={pid:05d}.json")
+
+
+def content_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive content hash of a partition's rows."""
+    h = pd.util.hash_pandas_object(
+        df.reset_index(drop=True), index=False
+    ).to_numpy()
+    return hashlib.sha256(
+        int(pd.Series(h).sum() % (2**64)).to_bytes(8, "little") + len(df).to_bytes(8, "little")
+    ).hexdigest()
+
+
+def committed_partitions(out_dir: str, tier: str, input_fingerprint: str | None = None) -> set[int]:
+    """Partition ids already committed (optionally only those matching the
+    input fingerprint)."""
+    d = _manifest_dir(out_dir, tier)
+    if not os.path.isdir(d):
+        return set()
+    done = set()
+    for name in os.listdir(d):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write -> recompute
+        if m.get("status") != "committed":
+            continue
+        if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
+            continue
+        done.add(int(m["partition_id"]))
+    return done
+
+
+def commit_partition(
+    out_dir: str,
+    tier: str,
+    pid: int,
+    df: pd.DataFrame,
+    input_fingerprint: str,
+) -> dict:
+    """Atomically write one partition's parquet + manifest; returns the
+    manifest row."""
+    data_path = partition_path(out_dir, tier, pid)
+    os.makedirs(os.path.dirname(data_path), exist_ok=True)
+    os.makedirs(_manifest_dir(out_dir, tier), exist_ok=True)
+    tmp = data_path + ".tmp"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, data_path)
+    manifest = {
+        "partition_id": pid,
+        "tier": tier,
+        "input_fingerprint": input_fingerprint,
+        "row_count": int(len(df)),
+        "content_hash": content_hash(df),
+        "status": "committed",
+    }
+    mtmp = manifest_path(out_dir, tier, pid) + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, manifest_path(out_dir, tier, pid))
+    return manifest
+
+
+def fingerprint_inputs(paths: Iterable[str], params: dict | None = None) -> str:
+    """Fingerprint = sha256 over (sorted input file names+sizes+mtimes,
+    params) — cheap, deterministic, invalidates on input change."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}".encode())
+    if params:
+        h.update(json.dumps(params, sort_keys=True, default=str).encode())
+    return h.hexdigest()
