@@ -1,0 +1,183 @@
+"""Vectorized text kernels: tokenization counts, quality features, language
+ID, fingerprints, shingles, MinHash, SimHash.
+
+All pure functions over numpy/pyarrow/pandas batches — used by the
+pipelines.text_analysis / pipelines.dedup stages.  Hash functions are
+deterministic across processes (no PYTHONHASHSEED dependence): blake2b/md5
+from hashlib and splitmix-style integer mixing in numpy uint64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "por", "para"},
+    "it": {"il", "la", "che", "di", "è", "un", "una", "per", "non", "sono"},
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def token_count(texts) -> np.ndarray:
+    """Whitespace-token count per string (vectorized regex)."""
+    return np.fromiter(
+        (len(_TOKEN_RE.findall(t)) if t is not None else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+def quality_features(texts) -> dict[str, np.ndarray]:
+    """Length / punctuation / stopword-ratio quality signals per doc."""
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_tokens = np.empty(n, dtype=np.int64)
+    punct_ratio = np.empty(n, dtype=np.float64)
+    stop_ratio = np.empty(n, dtype=np.float64)
+    upper_ratio = np.empty(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        words = _WORD_RE.findall(t.lower())
+        n_tokens[i] = len(words)
+        n_punct = sum(not c.isalnum() and not c.isspace() for c in t)
+        punct_ratio[i] = n_punct / max(1, len(t))
+        stop_ratio[i] = sum(w in STOPWORDS_EN for w in words) / max(1, len(words))
+        upper_ratio[i] = sum(c.isupper() for c in t) / max(1, len(t))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "upper_ratio": upper_ratio,
+    }
+
+
+def detect_language(texts) -> np.ndarray:
+    """Stopword-overlap heuristic language ID ('und' when no evidence)."""
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        words = set(_WORD_RE.findall((t or "").lower()))
+        best, best_score = "und", 0
+        for lang, profile in LANG_PROFILES.items():
+            score = len(words & profile)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = best
+    return out
+
+
+def md5_fingerprint(texts) -> np.ndarray:
+    """Hex MD5 of the utf-8 bytes (matches DuckDB ``md5(text)``)."""
+    return np.array(
+        [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts], dtype=object
+    )
+
+
+def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
+    """Deterministic 64-bit document fingerprint: min of rolling polynomial
+    hashes over character windows (winnowing-style, content-position
+    independent)."""
+    B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        data = (t or "").encode("utf-8")
+        if len(data) < window:
+            out[i] = np.uint64(int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big"))
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
+        for j in range(window):
+            h = (h * B + arr[j : len(arr) - window + 1 + j]) & M
+        out[i] = h.min()
+    return out
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    """Set of 64-bit hashes of word k-shingles."""
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < k:
+        joined = " ".join(words)
+        return {_h64(joined)} if joined else set()
+    return {_h64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+# --- MinHash ---------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x + b) mod p over the shingle set."""
+    if not shingles:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*x+b) mod p in python-int precision via object? use uint64 wrap: ok for
+    # hashing purposes (wrapping is itself a fixed permutation-ish mix)
+    vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int) -> list[int]:
+    """Hash each band of the signature to a 64-bit bucket id."""
+    rows = len(sig) // num_bands
+    out = []
+    for bi in range(num_bands):
+        band = sig[bi * rows : (bi + 1) * rows]
+        out.append(int.from_bytes(hashlib.blake2b(band.tobytes(), digest_size=8).digest(), "big"))
+    return out
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(text: str) -> int:
+    """64-bit SimHash over word features."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = _h64(w)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,213 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the ray_guide patterns, re-derived for this engine):
+
+- exact: content-hash per batch (vectorized) -> ``groupby(hash)`` ->
+  keep min id per group.  One all-to-all keyed exchange on the hash.
+- MinHash-LSH: shingle+minhash per batch -> explode to (band_id, band_hash,
+  doc_id) rows -> ``groupby(band)`` -> candidate pairs inside each bucket ->
+  verify with signature-estimated Jaccard.  Sketches are per-row and tiny;
+  the shuffle carries (bands x docs) short rows, never text.
+- SimHash: 64-bit signature, banded into 4x16-bit keys -> bucket groupby ->
+  Hamming-verified pairs.
+- embedding near-dup: see pipelines/similarity.py (cosine >= threshold).
+
+Duplicate-pair output convention: (id_a < id_b) pairs, deterministic.  The
+"keep set" drops any doc paired with a smaller id — for full transitive
+clustering run min-label propagation over the pair list (iterative groupby),
+which the pair table feeds directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from pytimetk_ray.kernels import text as tx
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(ds: rd.Dataset, *, text_column: str = "text", id_column: str = "doc_id") -> rd.Dataset:
+    """Keep the smallest id per distinct text (hash-partitioned)."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "__h__": tx.md5_fingerprint(batch[text_column].tolist()),
+            }
+        )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_column: [g[id_column].min()]})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("__h__")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_perm: int = 64,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b, deduplicated."""
+    a, b = tx.minhash_params(num_perm, seed)
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, band_hashes, sigs = [], [], [], []
+        for doc_id, text in zip(batch[id_column], batch[text_column]):
+            sig = tx.minhash_signature(tx.word_shingles(text, shingle_k), a, b)
+            for band_id, bh in enumerate(tx.minhash_bands(sig, num_bands)):
+                ids.append(doc_id)
+                bands.append(band_id)
+                band_hashes.append(bh)
+                sigs.append(sig.tobytes())
+        return pd.DataFrame(
+            {
+                id_column: ids,
+                "band_id": np.array(bands, dtype=np.int64),
+                "band_hash": np.array(band_hashes, dtype=np.uint64),
+                "sig": sigs,
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({ "id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_column, kind="mergesort")
+        ids = g[id_column].to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        ra, rb, rj = [], [], []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if ids[i] == ids[j]:
+                    continue
+                ej = tx.est_jaccard(sigs[i], sigs[j])
+                if ej >= threshold:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rj.append(ej)
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "est_jaccard": rj})
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # same pair can surface from multiple bands -> dedup on (id_a, id_b)
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """Near-dup pairs by 64-bit SimHash, banded 4x16 bits (any pair within
+    Hamming distance 3 shares at least one exact 16-bit band)."""
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, keys, hashes = [], [], [], []
+        for doc_id, text in zip(batch[id_column], batch[text_column]):
+            h = tx.simhash(text)
+            for band_id in range(4):
+                ids.append(doc_id)
+                bands.append(band_id)
+                keys.append((h >> (band_id * 16)) & 0xFFFF)
+                hashes.append(h)
+        return pd.DataFrame(
+            {
+                id_column: ids,
+                "band_id": np.array(bands, dtype=np.int64),
+                "band_key": np.array(keys, dtype=np.int64),
+                "simhash": np.array(hashes, dtype=np.uint64),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_column, kind="mergesort").drop_duplicates(id_column)
+        ids = g[id_column].to_numpy()
+        hs = g["simhash"].to_numpy()
+        ra, rb, rh = [], [], []
+        for i in range(len(g)):
+            d = tx.hamming64(np.full(len(g) - i - 1, hs[i]), hs[i + 1 :])
+            for off in np.flatnonzero(d <= max_hamming):
+                ra.append(ids[i])
+                rb.append(ids[i + 1 + off])
+                rh.append(int(d[off]))
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# --- exact n-gram Jaccard verification --------------------------------------
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    candidate_pairs: pd.DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Exact Jaccard over word-shingle sets for candidate pairs.
+
+    The candidate set is small (LSH already pruned), so texts for the pair
+    ids are fetched with a pushdown filter and verified driver-side.  At
+    100 TB the same verify runs as a hash-partition join of pairs->texts on
+    id (both sides keyed by doc id)."""
+    need = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
+    if need:
+        need_arr = np.fromiter(need, dtype=np.int64, count=len(need))
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[id_column].isin(need_arr)][[id_column, text_column]]
+
+        small = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    else:
+        small = pd.DataFrame({id_column: [], text_column: []})
+    texts = dict(zip(small[id_column], small[text_column]))
+    out = []
+    for _, row in candidate_pairs.iterrows():
+        sa = tx.word_shingles(texts.get(row["id_a"], ""), shingle_k)
+        sb = tx.word_shingles(texts.get(row["id_b"], ""), shingle_k)
+        denom = len(sa | sb)
+        j = len(sa & sb) / denom if denom else 0.0
+        if j >= threshold:
+            out.append({"id_a": row["id_a"], "id_b": row["id_b"], "jaccard": j})
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])

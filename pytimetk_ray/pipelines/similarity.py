@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch against a
+  BROADCAST query matrix (``ray.put`` once on the driver, ``ray.get`` once
+  per actor in ``__init__``), local top-k per batch, global top-k via a
+  small groupby.  The shuffle carries (queries x k) rows per batch, never
+  the embeddings.
+- LSH-bucketed variant (scale path): random-hyperplane sign buckets computed
+  per batch; only matching buckets are scored — search cost drops by the
+  bucket fan-out at a small recall cost.
+- embedding-cosine near-dup: all-pairs within LSH buckets, cosine >=
+  threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _Scorer:
+    """Actor: holds the broadcast, pre-normalized query matrix."""
+
+    def __init__(self, query_ref, query_ids, k: int,
+                 id_column: str, vec_column: str):
+        q = query_ref if isinstance(query_ref, np.ndarray) else ray.get(query_ref)
+        self.q = _normalize(q)  # (Q, d)
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(batch[self.vec_column]))  # (B, d)
+        sims = self.q @ m.T  # (Q, B)
+        ids = batch[self.id_column].to_numpy()
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        # local top-k per query (full top-k resolved in the final reduce)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            idx = part[qi]
+            out_q.extend([self.query_ids[qi]] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(sims[qi, idx])
+        return pd.DataFrame(
+            {"query_id": out_q, self.id_column: out_id, "cosine": np.round(out_s, 12)}
+        )
+
+
+def ann_bruteforce(
+    ds: rd.Dataset,
+    query_matrix: np.ndarray,
+    query_ids,
+    *,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    concurrency: int = 4,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Exact cosine top-k of every query against the corpus.
+
+    Output: (query_id, vec_id, cosine), k rows per query, ties broken by
+    ascending id for determinism."""
+    qref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+
+    scored = ds.map_batches(
+        _Scorer,
+        fn_constructor_kwargs=dict(
+            query_ref=qref, query_ids=query_ids, k=k + (1 if exclude_self else 0),
+            id_column=id_column, vec_column=vec_column,
+        ),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g[id_column] != g["query_id"]]
+        g = g.sort_values(["cosine", id_column], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+class _BucketTagger:
+    """Actor: random-hyperplane LSH bucket id per row (scale path)."""
+
+    def __init__(self, planes_ref, vec_column: str):
+        self.planes = planes_ref if isinstance(planes_ref, np.ndarray) else ray.get(planes_ref)
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_column])
+        signs = (m @ self.planes.T) > 0  # (B, nbits)
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for bit in range(signs.shape[1]):
+            bucket |= signs[:, bit].astype(np.int64) << bit
+        batch = batch.copy()
+        batch["bucket"] = bucket
+        return batch
+
+
+def lsh_bucket(ds: rd.Dataset, *, dim: int, nbits: int = 8, seed: int = 5,
+               vec_column: str = "embedding", concurrency: int = 4) -> rd.Dataset:
+    """Tag rows with a hyperplane-LSH bucket (2**nbits buckets)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(nbits, dim))
+    pref = ray.put(planes)
+    return ds.map_batches(
+        _BucketTagger,
+        fn_constructor_kwargs=dict(planes_ref=pref, vec_column=vec_column),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def embedding_neardup_pairs(
+    ds: rd.Dataset,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 6,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> rd.Dataset:
+    """Near-duplicate pairs (cosine >= threshold) within LSH buckets.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.  Bucketing bounds the
+    pairwise cost; near-identical vectors collide with high probability."""
+    tagged = lsh_bucket(ds, dim=dim, nbits=nbits, vec_column=vec_column)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_column, kind="mergesort")
+        m = _normalize(_to_matrix(g[vec_column]))
+        ids = g[id_column].to_numpy()
+        sims = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][mask]],
+                "id_b": ids[iu[1][mask]],
+                "cosine": np.round(sims[iu][mask], 12),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -1,0 +1,94 @@
+"""Multimodal (image/audio/video) column stages — Ray-side plumbing.
+
+Media are opaque ``binary`` columns with typed metadata columns alongside
+(``media_type``, ``width``/``height`` or ``sample_rate``...).  Decode /
+resize / frame-sample run as actor-pool ``map_batches`` stages with SMALL
+batch sizes (binary payloads are wide — batch_size x concurrency must fit a
+worker heap; let the object store spill, never hold Python lists).
+
+The actual codec libraries (Pillow / torchaudio / PyAV) are NOT in this
+container, so the decode core is stubbed: ``use_fake_decode=True`` produces
+a deterministic fake (seeded from the payload hash) with the real output
+schema, and ``use_fake_decode=False`` raises NotImplementedError at the
+exact point a real decoder would plug in.  Everything around it — schema,
+actor signature, batch sizing, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+class ImageDecoder:
+    """binary payload -> fixed-size float32 feature tensor (H*W*C flat).
+
+    Real implementation would decode with Pillow/libjpeg in ``__init__``-
+    loaded codecs; the fake decoder derives a deterministic array from the
+    payload hash so downstream stages are testable."""
+
+    def __init__(self, height: int = 32, width: int = 32, channels: int = 3,
+                 use_fake_decode: bool = True):
+        self.shape = (height, width, channels)
+        self.use_fake_decode = use_fake_decode
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if not self.use_fake_decode:
+            raise NotImplementedError(
+                "real image decode requires an image codec library (e.g. "
+                "Pillow), which is not available in this environment; "
+                "construct with use_fake_decode=True for the deterministic stub"
+            )
+        seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.random(int(np.prod(self.shape)), dtype=np.float32)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = [self._decode_one(p) for p in batch["payload"]]
+        out = pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "height": self.shape[0],
+                "width": self.shape[1],
+                "channels": self.shape[2],
+            }
+        )
+        out["pixels"] = feats
+        return out
+
+
+class AudioFrameSampler:
+    """binary payload -> every Nth frame's energy (deterministic stub)."""
+
+    def __init__(self, n_frames: int = 16, use_fake_decode: bool = True):
+        self.n_frames = n_frames
+        self.use_fake_decode = use_fake_decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not self.use_fake_decode:
+            raise NotImplementedError("real audio decode requires an audio codec library")
+        energies = []
+        for p in batch["payload"]:
+            seed = int.from_bytes(hashlib.blake2b(p or b"", digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            energies.append(rng.random(self.n_frames, dtype=np.float32))
+        out = pd.DataFrame({"media_id": batch["media_id"].to_numpy()})
+        out["frame_energy"] = energies
+        return out
+
+
+def decode_images(ds: rd.Dataset, *, concurrency: int = 2, batch_size: int = 64,
+                  **kw) -> rd.Dataset:
+    """Actor-pool decode stage; small batches for wide binary rows."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs=kw,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,156 @@
+"""Dedup / text-analysis / similarity pipelines on the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pytimetk_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pytimetk_ray.pipelines.similarity import ann_bruteforce, embedding_neardup_pairs
+from pytimetk_ray.pipelines.text_analysis import score_documents, token_counts
+from pytimetk_ray.kernels import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    base = pd.read_parquet(f"{SF}/documents.parquet")
+    # plant exact and near duplicates deterministically
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    near = base.head(3).copy()
+    near["doc_id"] = near["doc_id"] + 2_000_000
+    near["text"] = near["text"] + " extra tail token"
+    return pd.concat([base, dup, near], ignore_index=True)
+
+
+def test_exact_dedup(docs_df):
+    out = exact_dedup(rd.from_pandas(docs_df)).to_pandas()
+    # planted exact dups collapse onto the original ids
+    n_unique_texts = docs_df["text"].nunique()
+    assert len(out) == n_unique_texts
+    assert not (out["doc_id"] >= 1_000_000).any() or (
+        # a planted id survives only if its text was itself unique
+        True
+    )
+    base_ids = set(docs_df[docs_df["doc_id"] < 1_000_000]["doc_id"])
+    assert set(out["doc_id"]) <= base_ids | set(
+        docs_df[docs_df["doc_id"] >= 2_000_000]["doc_id"]
+    )
+
+
+def test_minhash_lsh_finds_planted_neardups(docs_df):
+    pairs = minhash_lsh_pairs(rd.from_pandas(docs_df), threshold=0.5).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # exact dups are certainly found
+    for i in docs_df.head(5)["doc_id"]:
+        assert (i, i + 1_000_000) in found
+    # near dups (tail-append) should mostly be found
+    hits = sum((i, i + 2_000_000) in found for i in docs_df.head(3)["doc_id"])
+    assert hits >= 2
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    # no pair duplicated across bands
+    assert not pairs.duplicated(["id_a", "id_b"]).any()
+
+
+def test_ngram_jaccard_verify(docs_df):
+    cand = pd.DataFrame(
+        {
+            "id_a": docs_df.head(3)["doc_id"].to_numpy(),
+            "id_b": docs_df.head(3)["doc_id"].to_numpy() + 2_000_000,
+        }
+    )
+    verified = ngram_jaccard_pairs(rd.from_pandas(docs_df), cand, threshold=0.3)
+    assert len(verified) == 3
+    assert (verified["jaccard"] > 0.3).all()
+
+
+def test_simhash_pairs(docs_df):
+    pairs = simhash_pairs(rd.from_pandas(docs_df)).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in docs_df.head(5)["doc_id"]:
+        assert (i, i + 1_000_000) in found  # exact dup -> hamming 0
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_text_scoring(docs_df):
+    out = score_documents(rd.from_pandas(docs_df), concurrency=2).to_pandas()
+    assert len(out) == len(docs_df)
+    for c in ["q_n_chars", "q_punct_ratio", "q_stop_ratio", "token_count",
+              "lang_pred", "fingerprint_md5"]:
+        assert c in out.columns
+    np.testing.assert_array_equal(
+        out.sort_values("doc_id")["q_n_chars"].to_numpy(),
+        docs_df.sort_values("doc_id")["text"].str.len().to_numpy(),
+    )
+    # md5 fingerprint matches hashlib directly
+    import hashlib
+
+    row = out.iloc[0]
+    src = docs_df[docs_df["doc_id"] == row["doc_id"]]["text"].iloc[0]
+    assert row["fingerprint_md5"] == hashlib.md5(src.encode()).hexdigest()
+
+
+def test_token_counts_matches_regex(docs_df):
+    out = token_counts(rd.from_pandas(docs_df)).to_pandas().sort_values("doc_id")
+    import re
+
+    exp = docs_df.sort_values("doc_id")["text"].map(lambda t: len(re.findall(r"\S+", t)))
+    np.testing.assert_array_equal(out["token_count"].to_numpy(), exp.to_numpy())
+
+
+def test_ann_bruteforce_matches_numpy_oracle():
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    q = mat[:4]
+    out = ann_bruteforce(
+        rd.from_pandas(emb), q, ids[:4], k=5, exclude_self=True
+    ).to_pandas()
+    assert len(out) == 4 * 5
+    # numpy oracle
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm[:4] @ norm.T
+    for qi in range(4):
+        s = pd.DataFrame({"vec_id": ids, "cosine": np.round(sims[qi], 12)})
+        s = s[s["vec_id"] != ids[qi]]
+        exp = s.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(5)
+        got = out[out["query_id"] == ids[qi]].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )
+        np.testing.assert_array_equal(got["vec_id"].to_numpy(), exp["vec_id"].to_numpy())
+        np.testing.assert_allclose(got["cosine"].to_numpy(), exp["cosine"].to_numpy(), atol=1e-9)
+
+
+def test_embedding_neardup():
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    # plant a near-identical vector
+    twin = emb.head(1).copy()
+    twin["vec_id"] = [999_999]
+    twin["embedding"] = [np.asarray(emb["embedding"].iloc[0]) * 1.0001]
+    df = pd.concat([emb, twin], ignore_index=True)
+    pairs = embedding_neardup_pairs(
+        rd.from_pandas(df), dim=64, threshold=0.99
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (emb["vec_id"].iloc[0], 999_999) in found
+
+
+def test_multimodal_stub():
+    from pytimetk_ray.stages.multimodal import decode_images
+
+    df = pd.DataFrame(
+        {"media_id": [1, 2, 3], "payload": [b"aa", b"bb", b"aa"]}
+    )
+    out = decode_images(rd.from_pandas(df), concurrency=1, batch_size=2).to_pandas()
+    assert len(out) == 3
+    a = out[out["media_id"] == 1]["pixels"].iloc[0]
+    c = out[out["media_id"] == 3]["pixels"].iloc[0]
+    np.testing.assert_array_equal(a, c)  # deterministic fake decode
+    assert len(a) == 32 * 32 * 3
