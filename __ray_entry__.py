@@ -1,44 +1,531 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tier-rollup cascade on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names; float aggregates rounded to 6 decimals on BOTH
+sides so value hashes are robust to accumulation order).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in pytimetk_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# --- helpers ---------------------------------------------------------------
+
+_EV = "events.parquet"
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, _EV))
+
+
+def _round_cols(ds, cols, digits=6):
+    """Round float columns (both sides of the oracle compare round to the
+    same digits) and convert NaN -> null (SQL semantics for hashing)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            v = np.round(batch[c].astype(np.float64).to_numpy(), digits)
+            batch[c] = pd.array(v, dtype="Float64")  # NaN -> <NA> -> Arrow null
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _nan_to_null(ds, cols):
+    """NaN -> null for float columns that must NOT be rounded (exact-copy
+    semantics, e.g. lag/lead/diff outputs)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            v = batch[c].astype(np.float64).to_numpy()
+            batch[c] = pd.array(v, dtype="Float64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _cast_int64(ds, cols):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            batch[c] = batch[c].astype(np.int64)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _cast_bucket_us(ds, col="bucket_ts"):
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(col)
+        return batch.set_column(i, col, batch[col].cast(pa.timestamp("us")))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- entry -----------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: raw -> 1m -> 1h -> 1d tier cascade over sf0.001 events
+    (conv key = user_id), returning the 1h tier with derived mean."""
+    import ray.data as rd
 
+    from pytimetk_ray.pipelines.tiers import read_tier, rollup_tiers
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = os.path.join(tempfile.mkdtemp(prefix="tiers_entry_"), "tiers")
+    ds = _events(sf_dir).map_batches(
+        lambda b: b.rename(columns={"user_id": "conv_id"}), batch_format="pandas"
+    )
+    rollup_tiers(
+        ds,
+        out_dir=out,
+        key="conv_id",
+        date_column="ts",
+        value_column="value",
+        num_partitions=16,
+        input_fingerprint="entry",
+    )
+    return read_tier(out, "1h")
+
+
+# --- queries ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import pytimetk_ray as tk
+    from pytimetk_ray.pipelines.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+    from pytimetk_ray.pipelines.similarity import ann_bruteforce, embedding_neardup_pairs
+    from pytimetk_ray.pipelines.text_analysis import score_documents, token_counts
+    from pytimetk_ray.pipelines.tiers import rollup_tiers
 
+    def summarize_by_time_hour(sf_dir):
+        ds = tk.summarize_by_time(
+            _events(sf_dir), "ts", "value", freq="1h",
+            agg_func=["sum", "count", "min", "max", "mean"], by=["user_id"],
+        )
+        return _round_cols(_cast_bucket_us(ds), ["value_sum", "value_mean"])
+
+    def summarize_by_time_day_type(sf_dir):
+        ds = tk.summarize_by_time(
+            _events(sf_dir), "ts", "value", freq="D",
+            agg_func=["sum", "count"], by=["event_type"],
+        )
+        return _round_cols(_cast_bucket_us(ds), ["value_sum"])
+
+    def summarize_by_time_month(sf_dir):
+        ds = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="MS", agg_func=["sum", "count"])
+        return _round_cols(_cast_bucket_us(ds), ["value_sum"])
+
+    def filter_by_time(sf_dir):
+        return tk.filter_by_time(_events(sf_dir), "ts", "2024-01-05", "2024-01-10")
+
+    def augment_lags(sf_dir):
+        ds = tk.augment_lags(_events(sf_dir), ["user_id"], ["ts"], "value", lags=2)
+        ds = _nan_to_null(ds, ["value_lag_1", "value_lag_2"])
+        return ds.select_columns(["event_id", "user_id", "ts", "value", "value_lag_1", "value_lag_2"])
+
+    def augment_leads(sf_dir):
+        ds = tk.augment_leads(_events(sf_dir), ["user_id"], ["ts"], "value", leads=1)
+        ds = _nan_to_null(ds, ["value_lead_1"])
+        return ds.select_columns(["event_id", "user_id", "value", "value_lead_1"])
+
+    def augment_diffs(sf_dir):
+        ds = tk.augment_diffs(_events(sf_dir), ["user_id"], ["ts"], "value", periods=1)
+        ds = _nan_to_null(ds, ["value_diff_1"])
+        return ds.select_columns(["event_id", "user_id", "value", "value_diff_1"])
+
+    def augment_rolling(sf_dir):
+        ds = tk.augment_rolling(
+            _events(sf_dir), ["user_id"], ["ts"], "value", window=4, window_func=["sum", "mean"]
+        )
+        ds = _round_cols(ds, ["value_rolling_sum_win_4", "value_rolling_mean_win_4"])
+        return ds.select_columns(
+            ["event_id", "user_id", "value_rolling_sum_win_4", "value_rolling_mean_win_4"]
+        )
+
+    def augment_expanding(sf_dir):
+        ds = tk.augment_expanding(
+            _events(sf_dir), ["user_id"], ["ts"], "value", window_func=["sum", "count"]
+        )
+        ds = _round_cols(ds, ["value_expanding_sum"])
+        return ds.select_columns(["event_id", "user_id", "value_expanding_sum", "value_expanding_count"])
+
+    def augment_ewm(sf_dir):
+        # order-sensitive recurrence; rows-only check (no closed-form SQL)
+        ds = tk.augment_ewm(_events(sf_dir), ["user_id"], ["ts"], "value", window_func="mean", alpha=0.3)
+        return ds.select_columns(["event_id", "user_id", "value_ewm_mean_alpha_0.3"])
+
+    def pad_by_time_daily(sf_dir):
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D", agg_func="sum", by=["user_id"])
+        agg = _cast_bucket_us(agg)
+        padded = tk.pad_by_time(agg, "bucket_ts", freq="D", by=["user_id"], fillna=0)
+        return _round_cols(padded, ["value_sum"])
+
+    def ts_summary(sf_dir):
+        ds = tk.ts_summary(_events(sf_dir), "ts", by=["user_id"])
+        # diff stats are bit-deterministic (exact-µs quantile interpolation +
+        # matched op sequence), so no rounding — only NaN -> null
+        return _nan_to_null(
+            ds, ["diff_min_s", "diff_q25_s", "diff_median_s", "diff_mean_s", "diff_q75_s", "diff_max_s"]
+        )
+
+    def future_frame(sf_dir):
+        ds = tk.future_frame(
+            _events(sf_dir), "ts", by=["user_id"], length_out=5, freq="1h", bind_data=False
+        )
+        return ds.select_columns(["user_id", "ts"])
+
+    def signature(sf_dir):
+        ds = tk.augment_timeseries_signature(_events(sf_dir), "ts")
+        ds = _cast_int64(ds, ["ts_year", "ts_half", "ts_quarter", "ts_month", "ts_mday",
+                              "ts_yday", "ts_wday", "ts_hour", "ts_minute", "ts_second",
+                              "ts_weekend"])
+        return ds.select_columns(
+            ["event_id", "ts_year", "ts_half", "ts_quarter", "ts_month", "ts_mday",
+             "ts_yday", "ts_wday", "ts_hour", "ts_minute", "ts_second", "ts_weekend", "ts_am_pm"]
+        )
+
+    def apply_by_time_range(sf_dir):
+        ds = tk.apply_by_time(
+            _events(sf_dir), "ts", freq="D", by=["user_id"],
+            value_range=lambda df: df["value"].max() - df["value"].min(),
+        )
+        return _round_cols(_cast_bucket_us(ds), ["value_range"])
+
+    def anomalize(sf_dir):
+        # model path: rows-only check
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="1h", agg_func="sum", by=["user_id"])
+        agg = _cast_bucket_us(agg)
+        return tk.anomalize(agg, "bucket_ts", "value_sum", by=["user_id"], period=24, trend=96)
+
+    def fourier(sf_dir):
+        ds = tk.augment_fourier(_events(sf_dir), ["user_id"], "ts", periods=24, max_order=1)
+        return ds.select_columns(["event_id", "ts_sin_1_24", "ts_cos_1_24"])
+
+    def tier_rollup_1h(sf_dir):
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_q_"), "tiers")
+        ds = _events(sf_dir).map_batches(
+            lambda b: b.rename(columns={"user_id": "conv_id"}), batch_format="pandas"
+        )
+        rollup_tiers(ds, out_dir=out, key="conv_id", date_column="ts", value_column="value",
+                     num_partitions=16, input_fingerprint="q", tiers=("1min", "1h"))
+        import ray.data as rd2
+
+        t = rd2.read_parquet(os.path.join(out, "tier=1h")).select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count", "value_min", "value_max"]
+        )
+        return _round_cols(_cast_bucket_us(t), ["value_sum"])
+
+    def tpch_q1(sf_dir):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        )
+        ds = tk.filter_by_time(ds, "l_shipdate", end_date="1998-09-02")
+        from ray.data.aggregate import Count, Mean, Sum
+
+        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(on="l_quantity", alias_name="count_order"),
+        )
+        return _round_cols(out, ["sum_qty", "sum_base_price", "avg_qty"], 4)
+
+    # --- documents / text --------------------------------------------------
+
+    def _docs(sf_dir):
+        return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def dedup_exact(sf_dir):
+        return exact_dedup(_docs(sf_dir))
+
+    def doc_token_count(sf_dir):
+        return token_counts(_docs(sf_dir))
+
+    def doc_fingerprint(sf_dir):
+        from pytimetk_ray.kernels.text import md5_fingerprint
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"], "fp": md5_fingerprint(batch["text"].tolist())}
+            )
+
+        return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+    def doc_quality(sf_dir):
+        ds = score_documents(_docs(sf_dir), concurrency=2, with_lang=False, with_fingerprint=False)
+        ds = _round_cols(ds, ["q_punct_ratio", "q_upper_ratio"])
+        return ds.select_columns(["doc_id", "q_n_chars", "q_punct_ratio", "q_upper_ratio"])
+
+    def doc_langid(sf_dir):
+        # heuristic; rows-only
+        ds = score_documents(_docs(sf_dir), concurrency=2, with_fingerprint=False)
+        return ds.select_columns(["doc_id", "lang_pred"])
+
+    def dedup_minhash(sf_dir):
+        return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+    def dedup_simhash(sf_dir):
+        return simhash_pairs(_docs(sf_dir))
+
+    # --- embeddings ---------------------------------------------------------
+
+    def _emb(sf_dir):
+        return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def ann_topk(sf_dir):
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).sort_values("vec_id").head(4)
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+        return ann_bruteforce(
+            _emb(sf_dir), q, emb["vec_id"].to_numpy(), k=5, round_digits=6
+        )
+
+    def embedding_neardup(sf_dir):
+        # nbits=0 -> single bucket -> exact all-pairs (SQL-checkable)
+        return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=0, round_digits=6)
+
+    def embedding_neardup_lsh(sf_dir):
+        # bucketed scale path; rows-only
+        return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=4, round_digits=6)
+
+    return {
+        "summarize_by_time_hour": summarize_by_time_hour,
+        "summarize_by_time_day_type": summarize_by_time_day_type,
+        "summarize_by_time_month": summarize_by_time_month,
+        "filter_by_time": filter_by_time,
+        "augment_lags": augment_lags,
+        "augment_leads": augment_leads,
+        "augment_diffs": augment_diffs,
+        "augment_rolling": augment_rolling,
+        "augment_expanding": augment_expanding,
+        "augment_ewm": augment_ewm,
+        "pad_by_time_daily": pad_by_time_daily,
+        "ts_summary": ts_summary,
+        "future_frame": future_frame,
+        "signature": signature,
+        "apply_by_time_range": apply_by_time_range,
+        "anomalize": anomalize,
+        "fourier": fourier,
+        "tier_rollup_1h": tier_rollup_1h,
+        "tpch_q1": tpch_q1,
+        "dedup_exact": dedup_exact,
+        "doc_token_count": doc_token_count,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "ann_topk": ann_topk,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+    }
+
+
+# --- oracle SQL -------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "summarize_by_time_hour": """
+            SELECT user_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   MIN(value)             AS value_min,
+                   MAX(value)             AS value_max,
+                   ROUND(AVG(value), 6)   AS value_mean
+            FROM events GROUP BY 1, 2
+        """,
+        "summarize_by_time_day_type": """
+            SELECT event_type,
+                   date_trunc('day', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)  AS value_sum,
+                   COUNT(value)          AS value_count
+            FROM events GROUP BY 1, 2
+        """,
+        "summarize_by_time_month": """
+            SELECT date_trunc('month', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)    AS value_sum,
+                   COUNT(value)            AS value_count
+            FROM events GROUP BY 1
+        """,
+        "filter_by_time": """
+            SELECT * FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-10 23:59:59.999999'
+        """,
+        "augment_lags": """
+            SELECT event_id, user_id, ts, value,
+                   LAG(value, 1) OVER w AS value_lag_1,
+                   LAG(value, 2) OVER w AS value_lag_2
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "augment_leads": """
+            SELECT event_id, user_id, value,
+                   LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead_1
+            FROM events
+        """,
+        "augment_diffs": """
+            SELECT event_id, user_id, value,
+                   value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_diff_1
+            FROM events
+        """,
+        "augment_rolling": """
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 4
+                        THEN ROUND(SUM(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_rolling_sum_win_4,
+                   CASE WHEN ROW_NUMBER() OVER w >= 4
+                        THEN ROUND(AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_rolling_mean_win_4
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "augment_expanding": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS value_expanding_sum,
+                   COUNT(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_expanding_count
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "pad_by_time_daily": """
+            WITH agg AS (
+                SELECT user_id, date_trunc('day', ts) AS bucket_ts, ROUND(SUM(value), 6) AS value_sum
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT user_id, MIN(bucket_ts) lo, MAX(bucket_ts) hi FROM agg GROUP BY 1
+            ), grid AS (
+                SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts
+                FROM bounds
+            )
+            SELECT g.user_id, g.bucket_ts, COALESCE(a.value_sum, 0) AS value_sum
+            FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)
+        """,
+        "ts_summary": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS diff_us
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(ts) AS date_n,
+                   MIN(ts)   AS date_start,
+                   MAX(ts)   AS date_end,
+                   MIN(diff_us) / 1e6                 AS diff_min_s,
+                   quantile_cont(diff_us, 0.25) / 1e6 AS diff_q25_s,
+                   quantile_cont(diff_us, 0.5) / 1e6  AS diff_median_s,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6
+                       / NULLIF(COUNT(ts) - 1, 0)     AS diff_mean_s,
+                   quantile_cont(diff_us, 0.75) / 1e6 AS diff_q75_s,
+                   MAX(diff_us) / 1e6                 AS diff_max_s
+            FROM d GROUP BY user_id
+        """,
+        "future_frame": """
+            WITH last AS (SELECT user_id, MAX(ts) AS mx FROM events GROUP BY 1)
+            SELECT user_id,
+                   UNNEST(generate_series(mx + INTERVAL 1 HOUR, mx + INTERVAL 5 HOUR,
+                                          INTERVAL 1 HOUR)) AS ts
+            FROM last
+        """,
+        "signature": """
+            SELECT event_id,
+                   year(ts)                     AS ts_year,
+                   CASE WHEN quarter(ts) <= 2 THEN 1 ELSE 2 END AS ts_half,
+                   quarter(ts)                  AS ts_quarter,
+                   month(ts)                    AS ts_month,
+                   day(ts)                      AS ts_mday,
+                   dayofyear(ts)                AS ts_yday,
+                   isodow(ts)                   AS ts_wday,
+                   hour(ts)                     AS ts_hour,
+                   minute(ts)                   AS ts_minute,
+                   CAST(floor(second(ts)) AS BIGINT) AS ts_second,
+                   CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END AS ts_weekend,
+                   CASE WHEN hour(ts) <= 12 THEN 'am' ELSE 'pm' END AS ts_am_pm
+            FROM events
+        """,
+        "apply_by_time_range": """
+            SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+                   ROUND(MAX(value) - MIN(value), 6) AS value_range
+            FROM events GROUP BY 1, 2
+        """,
+        "tier_rollup_1h": """
+            SELECT user_id AS conv_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   MIN(value)             AS value_min,
+                   MAX(value)             AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4)      AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(AVG(l_quantity), 4)      AS avg_qty,
+                   COUNT(l_quantity)              AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
+            GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS token_count
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS q_n_chars,
+                   ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                         / GREATEST(1, length(text)), 6) AS q_punct_ratio,
+                   ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / GREATEST(1, length(text)), 6) AS q_upper_ratio
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 4
+            ), s AS (
+                SELECT q.query_id, v.vec_id,
+                       ROUND(list_cosine_similarity(q.qe, CAST(v.embedding AS DOUBLE[])), 6)
+                           AS cosine
+                FROM q, embeddings v
+                WHERE v.vec_id <> q.query_id
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+    }

@@ -41,18 +41,30 @@ def ts_summary(
         per_sec = {"datetime64[ns]": 1e9, "datetime64[us]": 1e6, "datetime64[ms]": 1e3, "datetime64[s]": 1.0}[unit]
         g = part.groupby(by, sort=False) if by else part.groupby(np.zeros(len(part), dtype=np.int64))
         base = g[date_column].agg(date_n="count", date_start="min", date_end="max")
-        diffs = g[date_column].diff().dt.total_seconds()
-        part = part.assign(__diff__=diffs)
+        # diffs computed on exact integer microseconds: quantile interpolation
+        # (a + (b-a)*q, q in {.25,.5,.75}) is then exact in float64, so the
+        # final /1e6 gives bit-identical results across engines
+        us = part[date_column].astype("datetime64[us]").astype(np.int64)
+        diffs = part.assign(__us__=us).groupby(by, sort=False)["__us__"].diff() if by else pd.Series(us).diff()
+        part = part.assign(__diff__=diffs.to_numpy())
         g2 = part.groupby(by, sort=False) if by else part.groupby(np.zeros(len(part), dtype=np.int64))
         d = g2["__diff__"]
+        # mean of consecutive diffs telescopes to (end-start)/(n-1): computed
+        # as (end_us - start_us) / 1e6 / (n-1) — exact integer difference then
+        # two float divisions, bit-deterministic across engines
+        span_us = (
+            base["date_end"].astype("datetime64[us]").astype(np.int64)
+            - base["date_start"].astype("datetime64[us]").astype(np.int64)
+        )
+        mean_s = span_us / 1e6 / (base["date_n"] - 1).replace(0, np.nan)
         stats = pd.DataFrame(
             {
-                "diff_min_s": d.min(),
-                "diff_q25_s": d.quantile(0.25),
-                "diff_median_s": d.quantile(0.5),
-                "diff_mean_s": d.mean(),
-                "diff_q75_s": d.quantile(0.75),
-                "diff_max_s": d.max(),
+                "diff_min_s": d.min() / 1e6,
+                "diff_q25_s": d.quantile(0.25) / 1e6,
+                "diff_median_s": d.quantile(0.5) / 1e6,
+                "diff_mean_s": mean_s,
+                "diff_q75_s": d.quantile(0.75) / 1e6,
+                "diff_max_s": d.max() / 1e6,
             }
         )
         out = base.join(stats).reset_index()

@@ -35,13 +35,14 @@ class _Scorer:
     """Actor: holds the broadcast, pre-normalized query matrix."""
 
     def __init__(self, query_ref, query_ids, k: int,
-                 id_column: str, vec_column: str):
+                 id_column: str, vec_column: str, round_digits: int = 12):
         q = query_ref if isinstance(query_ref, np.ndarray) else ray.get(query_ref)
         self.q = _normalize(q)  # (Q, d)
         self.query_ids = np.asarray(query_ids)
         self.k = k
         self.id_column = id_column
         self.vec_column = vec_column
+        self.round_digits = round_digits
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_to_matrix(batch[self.vec_column]))  # (B, d)
@@ -57,7 +58,8 @@ class _Scorer:
             out_id.extend(ids[idx])
             out_s.extend(sims[qi, idx])
         return pd.DataFrame(
-            {"query_id": out_q, self.id_column: out_id, "cosine": np.round(out_s, 12)}
+            {"query_id": out_q, self.id_column: out_id,
+             "cosine": np.round(out_s, self.round_digits)}
         )
 
 
@@ -71,6 +73,7 @@ def ann_bruteforce(
     vec_column: str = "embedding",
     concurrency: int = 4,
     exclude_self: bool = True,
+    round_digits: int = 12,
 ) -> rd.Dataset:
     """Exact cosine top-k of every query against the corpus.
 
@@ -81,8 +84,8 @@ def ann_bruteforce(
     scored = ds.map_batches(
         _Scorer,
         fn_constructor_kwargs=dict(
-            query_ref=qref, query_ids=query_ids, k=k + (1 if exclude_self else 0),
-            id_column=id_column, vec_column=vec_column,
+            query_ref=qref, query_ids=query_ids, k=k + (8 if exclude_self else 7),
+            id_column=id_column, vec_column=vec_column, round_digits=round_digits,
         ),
         batch_format="pandas",
         batch_size=4096,
@@ -139,6 +142,7 @@ def embedding_neardup_pairs(
     nbits: int = 6,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    round_digits: int = 12,
 ) -> rd.Dataset:
     """Near-duplicate pairs (cosine >= threshold) within LSH buckets.
 
@@ -159,7 +163,7 @@ def embedding_neardup_pairs(
             {
                 "id_a": ids[iu[0][mask]],
                 "id_b": ids[iu[1][mask]],
-                "cosine": np.round(sims[iu][mask], 12),
+                "cosine": np.round(sims[iu][mask], round_digits),
             }
         )
 

@@ -184,6 +184,8 @@ def read_tier(out_dir: str, tier: str) -> rd.Dataset:
     ds = rd.read_parquet(os.path.join(out_dir, f"tier={tier}"))
 
     def add_mean(batch: pd.DataFrame) -> pd.DataFrame:
+        if "tier" in batch.columns:  # hive-partition column from the path
+            batch = batch.drop(columns=["tier"])
         batch["value_mean"] = batch["value_sum"] / batch["value_count"]
         return batch
 
