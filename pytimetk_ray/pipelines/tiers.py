@@ -8,16 +8,16 @@ tier-over-tier (sum of sums, min of mins...); mean/std are derived at read
 (mean = sum/count), never stored, so tiers stay losslessly composable and
 bit-equal to a single-pass pandas oracle over the raw data.
 
-Execution plan per tier (all streaming, no driver materialization):
+Execution plan (ONE shuffle for the whole cascade — fused):
 
-    read previous tier (Parquet, column-pruned)
-      -> map_batches: hash-partition column H(conv_id) % P   [vectorized]
-      -> groupby(__part__).map_groups:                        [the shuffle]
+    read raw (Parquet, column-pruned to key/ts/value)
+      -> map_batches: hash-partition column H(conv_id) % P   [Arrow, vectorized]
+      -> groupby(__part__).map_groups:                        [the only shuffle]
            sort partition by (conv_id, ts)
-           floor ts to the tier grid (numpy int64 kernel)
-           pandas groupby(conv, bucket) aggregate IN SORTED ORDER
-              (pandas-identical accumulation -> bit-equality, SURVEY §4)
-           commit partition parquet + lineage manifest (skip if committed)
+           floor ts to tier-1 grid (numpy int64 kernel), pandas aggregate
+              IN SORTED ORDER (pandas-identical accumulation -> bit-equality)
+           re-aggregate tier-over-tier (1m->1h->1d) inside the same task
+           commit each tier's partition parquet + lineage manifest
       -> manifest rows (tiny) collected on the driver
 
 Determinism note: every (conv_id, bucket) lands wholly inside one partition
@@ -65,6 +65,31 @@ def _floor_series(ts: pd.Series, freq: str) -> np.ndarray:
     return floor_i64(arr.astype(np.int64), unit, freq).astype(f"datetime64[{unit}]")
 
 
+def _segment_rollup(codes, bucket, sums, counts, mins, maxs):
+    """Segment reduction over sorted (codes, bucket) runs — pure numpy
+    ``reduceat``.  Sequential left-to-right accumulation within each segment
+    is the SAME order pandas' cython groupby uses over sorted rows, so float
+    sums stay bit-equal to the pandas oracle.  Returns per-segment
+    (codes, bucket, sum, count, min, max).  Caller guarantees no NaNs
+    (reduceat does not skip NaN like pandas does)."""
+    n = len(codes)
+    if n == 0:
+        e = np.array([])
+        return (codes, bucket, e, e.astype(np.int64), e, e)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or(codes[1:] != codes[:-1], bucket[1:] != bucket[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    return (
+        codes[starts],
+        bucket[starts],
+        np.add.reduceat(sums, starts),
+        np.add.reduceat(counts, starts),
+        np.minimum.reduceat(mins, starts),
+        np.maximum.reduceat(maxs, starts),
+    )
+
+
 def rollup_tiers(
     ds: rd.Dataset,
     *,
@@ -80,102 +105,111 @@ def rollup_tiers(
 ) -> dict[str, pd.DataFrame]:
     """Run the tier cascade; returns {tier_name: manifest frame}.
 
-    ``gap_fill=True`` regularizes the first tier onto its dense grid
-    (pad_by_time semantics, zero-filled buckets) before rollup, per the
-    north_rule's "gap-filled on regularized ts grids".
+    FUSED execution: because partitioning is by conv_id, every tier of a
+    conversation is derivable inside the SAME partition task — so the whole
+    raw→1m→1h→1d cascade runs with ONE hash-partition shuffle.  Each task:
+    aggregates raw rows to tier 1 (pandas, sorted order → bit-equal), then
+    re-aggregates tier-over-tier, committing each tier's partition parquet +
+    lineage manifest as it goes.  Resume: a committed (tier, partition) is
+    read back from its parquet (cheap) to seed the next tier instead of
+    recomputing; its write is skipped.
+
+    ``gap_fill=True`` regularizes tier 1 onto its dense grid (pad_by_time
+    semantics, zero-filled buckets) before rollup, per the north_rule's
+    "gap-filled on regularized ts grids".
     """
-    results: dict[str, pd.DataFrame] = {}
-    prev_path: str | None = None
-    prev_name: str | None = None
+    tier_names = [TIER_NAMES.get(f, f) for f in tiers]
+    fps = {}
+    committed = {}
+    prev = "raw"
+    for name in tier_names:
+        fps[name] = f"{input_fingerprint}|{prev}->{name}"
+        committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
+        prev = name
 
-    for i, freq in enumerate(tiers):
-        name = TIER_NAMES.get(freq, freq)
-        fp = f"{input_fingerprint}|{prev_name or 'raw'}->{name}"
-        committed = mf.committed_partitions(out_dir, name, fp) if resume else set()
-
-        if i == 0:
-            src = ds
-            kernel = _raw_kernel(
-                key, date_column, value_column, freq, out_dir, name, fp, committed, gap_fill
-            )
-        else:
-            src = rd.read_parquet(os.path.join(out_dir, f"tier={prev_name}"))
-            kernel = _tier_kernel(key, freq, out_dir, name, fp, committed)
-
-        manifests = partitioned_group_map(
-            src,
-            [key],
-            kernel,
-            sort_by=[key, date_column if i == 0 else "bucket_ts"],
-            num_partitions=num_partitions,
-            with_partition_id=True,
-        ).to_pandas()  # tiny: one row per partition
-        results[name] = manifests
-        prev_path, prev_name = os.path.join(out_dir, f"tier={name}"), name
-    _ = prev_path
-    return results
-
-
-def _manifest_df(m: dict) -> pd.DataFrame:
-    return pd.DataFrame([m])
-
-
-def _raw_kernel(key, date_column, value_column, freq, out_dir, name, fp, committed, gap_fill):
     def kernel(part: pd.DataFrame, pid: int) -> pd.DataFrame:
-        if pid in committed:
-            import json
+        import json
 
-            with open(mf.manifest_path(out_dir, name, pid)) as f:
-                return _manifest_df(json.load(f))
-        part = part[[key, date_column, value_column]]
-        bucket = _floor_series(part[date_column], freq)
-        part = pd.DataFrame(
-            {key: part[key].to_numpy(), "bucket_ts": bucket, value_column: part[value_column].to_numpy()}
-        )
-        agg = (
-            part.groupby([key, "bucket_ts"], sort=True)[value_column]
-            .agg(value_sum="sum", value_count="count", value_min="min", value_max="max")
-            .reset_index()
-        )
-        if gap_fill:
-            agg = pad_groups(
-                agg.sort_values([key, "bucket_ts"], kind="mergesort", ignore_index=True),
-                [key],
-                "bucket_ts",
-                freq,
-                fillna=None,
+        from pytimetk_ray.freq import floor_i64
+
+        manifests = []
+        # sorted-run factorize once; reused across every tier
+        ts_np = part[date_column].to_numpy()
+        unit = _np_unit(ts_np)
+        codes, uniques = pd.factorize(part[key], sort=False)
+        vals = part[value_column].to_numpy(dtype=np.float64)
+        has_nan = bool(np.isnan(vals).any())
+        agg = None  # (codes, bucket_i64, sum, count, min, max)
+        for i, (freq, name) in enumerate(zip(tiers, tier_names)):
+            if pid in committed[name]:
+                with open(mf.manifest_path(out_dir, name, pid)) as f:
+                    manifests.append(json.load(f))
+                df = pd.read_parquet(mf.partition_path(out_dir, name, pid))
+                codes2 = pd.Index(uniques).get_indexer(df[key])
+                agg = (codes2, df["bucket_ts"].to_numpy().astype(np.int64),
+                       df["value_sum"].to_numpy(), df["value_count"].to_numpy(),
+                       df["value_min"].to_numpy(), df["value_max"].to_numpy())
+                continue
+            if i == 0:
+                bucket = floor_i64(ts_np.astype(np.int64), unit, freq)
+                if has_nan:
+                    src = pd.DataFrame({"c": codes, "b": bucket, "v": vals})
+                    g = src.groupby(["c", "b"], sort=False)["v"].agg(
+                        value_sum="sum", value_count="count",
+                        value_min="min", value_max="max").reset_index()
+                    agg = (g["c"].to_numpy(), g["b"].to_numpy(),
+                           g["value_sum"].to_numpy(), g["value_count"].to_numpy(),
+                           g["value_min"].to_numpy(), g["value_max"].to_numpy())
+                else:
+                    c, b, s, cnt, mn, mx = _segment_rollup(
+                        codes, bucket, vals, np.ones(len(vals), dtype=np.int64),
+                        vals, vals,
+                    )
+                    agg = (c, b, s, cnt, mn, mx)
+            else:
+                c0, b0, s0, cnt0, mn0, mx0 = agg
+                b = floor_i64(np.asarray(b0, dtype=np.int64), unit, freq)
+                c, b, s, cnt, mn, mx = _segment_rollup(
+                    np.asarray(c0), b, np.asarray(s0, dtype=np.float64),
+                    np.asarray(cnt0, dtype=np.int64),
+                    np.asarray(mn0, dtype=np.float64),
+                    np.asarray(mx0, dtype=np.float64),
+                )
+                agg = (c, b, s, cnt, mn, mx)
+            c, b, s, cnt, mn, mx = agg
+            df = pd.DataFrame(
+                {
+                    key: uniques[c] if len(c) else np.array([], dtype=object),
+                    "bucket_ts": np.asarray(b, dtype=np.int64).astype(f"datetime64[{unit}]"),
+                    "value_sum": s,
+                    "value_count": cnt,
+                    "value_min": mn,
+                    "value_max": mx,
+                }
             )
-            zero = {"value_sum": 0.0, "value_count": 0, "value_min": np.nan, "value_max": np.nan}
-            for c, z in zero.items():
-                agg[c] = agg[c].fillna(z)
-            agg["value_count"] = agg["value_count"].astype(np.int64)
-        return _manifest_df(mf.commit_partition(out_dir, name, pid, agg, fp))
+            if gap_fill and i == 0:
+                df = pad_groups(df, [key], "bucket_ts", freq, fillna=None)
+                df["value_sum"] = df["value_sum"].fillna(0.0)
+                df["value_count"] = df["value_count"].fillna(0).astype(np.int64)
+                codes2 = pd.Index(uniques).get_indexer(df[key])
+                agg = (codes2, df["bucket_ts"].to_numpy().astype(np.int64),
+                       df["value_sum"].to_numpy(), df["value_count"].to_numpy(),
+                       df["value_min"].to_numpy(), df["value_max"].to_numpy())
+            manifests.append(mf.commit_partition(out_dir, name, pid, df, fps[name]))
+        return pd.DataFrame(manifests)
 
-    return kernel
-
-
-def _tier_kernel(key, freq, out_dir, name, fp, committed):
-    def kernel(part: pd.DataFrame, pid: int) -> pd.DataFrame:
-        if pid in committed:
-            import json
-
-            with open(mf.manifest_path(out_dir, name, pid)) as f:
-                return _manifest_df(json.load(f))
-        bucket = _floor_series(part["bucket_ts"], freq)
-        part = part.assign(bucket_ts=bucket)
-        agg = (
-            part.groupby([key, "bucket_ts"], sort=True)
-            .agg(
-                value_sum=("value_sum", "sum"),
-                value_count=("value_count", "sum"),
-                value_min=("value_min", "min"),
-                value_max=("value_max", "max"),
-            )
-            .reset_index()
-        )
-        return _manifest_df(mf.commit_partition(out_dir, name, pid, agg, fp))
-
-    return kernel
+    all_manifests = partitioned_group_map(
+        ds,
+        [key],
+        kernel,
+        sort_by=[key, date_column],
+        num_partitions=num_partitions,
+        with_partition_id=True,
+    ).to_pandas()  # tiny: one row per (tier, partition)
+    return {
+        name: all_manifests[all_manifests["tier"] == name].reset_index(drop=True)
+        for name in tier_names
+    }
 
 
 def read_tier(out_dir: str, tier: str) -> rd.Dataset:

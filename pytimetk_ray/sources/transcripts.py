@@ -38,8 +38,13 @@ def make_transcripts(
     seed: int = 7,
     mean_turns: int = 40,
     hot_conv_factor: int = 50,
+    fast_text: bool = False,
 ) -> pd.DataFrame:
-    """Deterministic transcript frame; row order is shuffled."""
+    """Deterministic transcript frame; row order is shuffled.
+
+    ``fast_text=True`` builds text by vectorized concatenation of a few
+    word columns (for multi-10M-row bench corpora); the default token-soup
+    path keeps the full length distribution for correctness fixtures."""
     rng = np.random.default_rng(seed)
     # Zipf-ish turn counts; conv 0 is the hot one
     turns = np.maximum(rng.zipf(1.5, size=n_convs) * 2, 3)
@@ -53,11 +58,21 @@ def make_transcripts(
     roles = _ROLES[rng.integers(0, 3, size=total)]
     tools = _TOOLS[rng.integers(0, len(_TOOLS), size=total)]
 
-    # text: seeded token soup with non-ASCII / newlines / quotes
-    n_words = np.maximum((rng.normal(12, 8, size=total)).astype(int), 1)
-    word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
-    bounds = np.cumsum(n_words)[:-1]
-    texts = [" ".join(chunk) for chunk in np.split(_WORDS[word_idx], bounds)]
+    if fast_text:
+        # vectorized via Arrow string kernels: 4 word columns + seeded filler
+        import pyarrow.compute as pc
+
+        cols = [pa.array(_WORDS[rng.integers(0, len(_WORDS), size=total)]) for _ in range(4)]
+        filler = pa.array(np.array(["tok " * r for r in range(6)])[rng.integers(0, 6, size=total)])
+        texts = pc.binary_join_element_wise(*cols, filler, " ").to_numpy(
+            zero_copy_only=False
+        )
+    else:
+        # seeded token soup with non-ASCII / newlines / quotes
+        n_words = np.maximum((rng.normal(12, 8, size=total)).astype(int), 1)
+        word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+        bounds = np.cumsum(n_words)[:-1]
+        texts = [" ".join(chunk) for chunk in np.split(_WORDS[word_idx], bounds)]
 
     # ts: per-conv cumsum of log-uniform gaps (2s..15min) + dropout >1h
     gaps = np.exp(rng.uniform(np.log(2.0), np.log(900.0), size=total))
@@ -94,10 +109,26 @@ def add_value_column(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def write_transcripts(path: str, n_convs: int = 200, seed: int = 7, **kw) -> str:
+def write_transcripts(path: str, n_convs: int = 200, seed: int = 7,
+                      num_files: int = 1, **kw) -> str:
+    """Write the corpus as one file (num_files=1) or a directory of
+    ``num_files`` parquet shards with small row groups — the sharded layout
+    is what a real 100 TB corpus looks like, and it parallelizes the read."""
     import pyarrow.parquet as pq
 
     df = add_value_column(make_transcripts(n_convs, seed=seed, **kw))
-    tbl = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(tbl, path)
+    if num_files <= 1:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path,
+                       row_group_size=200_000)
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    shards = np.array_split(np.arange(len(df)), num_files)
+    for i, idx in enumerate(shards):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[idx], preserve_index=False),
+            os.path.join(path, f"part-{i:04d}.parquet"),
+            row_group_size=100_000,
+        )
     return path
