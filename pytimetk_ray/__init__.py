@@ -23,6 +23,35 @@ from pytimetk_ray.ops.signature import augment_timeseries_signature
 from pytimetk_ray.ops.apply_by_time import apply_by_time
 from pytimetk_ray.ops.anomalize import anomalize
 from pytimetk_ray.ops.fourier import augment_fourier
+from pytimetk_ray.ops.apply_window import augment_expanding_apply, augment_rolling_apply
+from pytimetk_ray.ops.correlationfunnel import binarize, correlate
+from pytimetk_ray.ops.cv import TimeSeriesCV
+from pytimetk_ray.ops.diagnostics import acf_diagnostics, seasonal_diagnostics, stl_diagnostics
+from pytimetk_ray.ops.holiday import augment_holiday_signature
+from pytimetk_ray.ops.sequences import (
+    make_future_timeseries,
+    make_weekday_sequence,
+    make_weekend_sequence,
+    week_of_month,
+)
+from pytimetk_ray.ops.signal import augment_hilbert, augment_wavelet
+from pytimetk_ray.ops import finance
+from pytimetk_ray.ops.finance import (
+    augment_atr,
+    augment_bbands,
+    augment_cmo,
+    augment_drawdown,
+    augment_ewma_volatility,
+    augment_fip_momentum,
+    augment_hurst_exponent,
+    augment_macd,
+    augment_ppo,
+    augment_qsmomentum,
+    augment_roc,
+    augment_rolling_risk_metrics,
+    augment_rsi,
+    augment_stochastic_oscillator,
+)
 
 __version__ = "0.1.0"
 
