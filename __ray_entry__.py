@@ -304,6 +304,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketed scale path; rows-only
         return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=4, round_digits=6)
 
+    # --- finance / diagnostics / signal ------------------------------------
+
+    from pytimetk_ray.ops import finance as fin
+    from pytimetk_ray.ops.correlationfunnel import binarize, correlate
+    from pytimetk_ray.ops.diagnostics import acf_diagnostics, stl_diagnostics
+    from pytimetk_ray.ops.holiday import augment_holiday_signature
+    from pytimetk_ray.ops.signal import augment_hilbert
+
+    def fin_roc_drawdown(sf_dir):
+        ds = fin.augment_roc(_events(sf_dir), ["user_id"], ["ts"], "value", periods=3)
+        ds = fin.augment_drawdown(ds, ["user_id"], ["ts"], "value")
+        ds = _nan_to_null(ds, ["value_roc_0_3", "value_drawdown_pct"])
+        return ds.select_columns(
+            ["event_id", "user_id", "value", "value_roc_0_3", "value_peak",
+             "value_drawdown", "value_drawdown_pct"]
+        )
+
+    def fin_bbands(sf_dir):
+        ds = fin.augment_bbands(_events(sf_dir), ["user_id"], ["ts"], "value",
+                                periods=10, std_dev=2.0)
+        ds = _round_cols(ds, ["value_bband_middle_10_2", "value_bband_upper_10_2",
+                              "value_bband_lower_10_2"])
+        return ds.select_columns(["event_id", "user_id", "value_bband_middle_10_2",
+                                  "value_bband_upper_10_2", "value_bband_lower_10_2"])
+
+    def fin_rsi(sf_dir):
+        ds = fin.augment_rsi(_events(sf_dir), ["user_id"], ["ts"], "value", periods=14)
+        ds = _round_cols(ds, ["value_rsi_14"])
+        return ds.select_columns(["event_id", "user_id", "value_rsi_14"])
+
+    def fin_macd(sf_dir):
+        # recursive EMA chain; rows-only
+        ds = fin.augment_macd(_events(sf_dir), ["user_id"], ["ts"], "value")
+        return ds.select_columns(
+            ["event_id", "user_id", "value_macd_line_12_26_9",
+             "value_macd_signal_line_12_26_9", "value_macd_histogram_12_26_9"]
+        )
+
+    def diag_acf(sf_dir):
+        # numpy FFT ACF/PACF; rows-only
+        return acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=12)
+
+    def diag_stl(sf_dir):
+        # classical decomposition; rows-only
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="1h",
+                                   agg_func="sum", by=["user_id"])
+        return stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
+                               by=["user_id"], period=24)
+
+    def hilbert(sf_dir):
+        # whole-series FFT; rows-only
+        ds = augment_hilbert(_events(sf_dir), ["user_id"], ["ts"], "value")
+        return ds.select_columns(["event_id", "user_id", "value_hilbert_real",
+                                  "value_hilbert_imag"])
+
+    def holiday_signature(sf_dir):
+        # algorithmic US calendar; rows-only
+        ds = augment_holiday_signature(_events(sf_dir), "ts", concurrency=2)
+        return ds.select_columns(["event_id", "is_holiday", "before_holiday",
+                                  "after_holiday"])
+
+    def corr_funnel(sf_dir):
+        # binarize + distributed pearson; rows-only (driver-side result)
+        ev = _events(sf_dir).select_columns(["value", "event_type"])
+        b = binarize(ev, n_bins=4)
+
+        def add_target(batch):
+            batch["target"] = batch["event_type__purchase"]
+            return batch
+
+        b = b.map_batches(add_target, batch_format="pandas")
+        out = correlate(b, "target")
+        return out
+
     return {
         "summarize_by_time_hour": summarize_by_time_hour,
         "summarize_by_time_day_type": summarize_by_time_day_type,
@@ -334,6 +408,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "fin_roc_drawdown": fin_roc_drawdown,
+        "fin_bbands": fin_bbands,
+        "fin_rsi": fin_rsi,
+        "fin_macd": fin_macd,
+        "diag_acf": diag_acf,
+        "diag_stl": diag_stl,
+        "hilbert": hilbert,
+        "holiday_signature": holiday_signature,
+        "corr_funnel": corr_funnel,
     }
 
 
@@ -518,6 +601,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
+        "fin_roc_drawdown": """
+            SELECT event_id, user_id, value,
+                   (value - LAG(value, 3) OVER w) / LAG(value, 3) OVER w AS value_roc_0_3,
+                   MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_peak,
+                   value - MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_drawdown,
+                   (value - MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       / MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_drawdown_pct
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "fin_bbands": """
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN ROUND(AVG(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_bband_middle_10_2,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN ROUND(AVG(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                             + 2 * stddev_samp(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_bband_upper_10_2,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN ROUND(AVG(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                             - 2 * stddev_samp(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_bband_lower_10_2
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "fin_rsi": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+                FROM events
+            ), gl AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN delta > 0 THEN delta ELSE 0 END AS gains,
+                       CASE WHEN delta < 0 THEN -delta ELSE 0 END AS losses
+                FROM d
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 14
+                        THEN ROUND(100 - 100 / (1 +
+                             (AVG(gains) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+                             / (AVG(losses) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))), 6)
+                   END AS value_rsi_14
+            FROM gl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
