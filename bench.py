@@ -146,7 +146,7 @@ def run_scaling() -> dict:
     corpus than the default suite so compute dominates fixed Ray overhead,
     and an IDENTICAL plan (same partition/block counts) at both levels."""
     ensure_corpus(SCALING_CONVS, fast_text=True)  # generate OUTSIDE the timed runs
-    levels = (8, 32)
+    levels = tuple(int(x) for x in os.environ.get("GRAFT_BENCH_LEVELS", "4,16").split(","))
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     out = {}
     for ncpu in levels:

@@ -127,6 +127,20 @@ def rollup_tiers(
         committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
         prev = name
 
+    if resume and all(len(committed[n]) >= num_partitions for n in tier_names):
+        # every (tier, partition) already committed for this fingerprint:
+        # skip the read + shuffle entirely and return the stored manifests
+        import json
+
+        frames = {}
+        for name in tier_names:
+            rows = []
+            for pid in sorted(committed[name]):
+                with open(mf.manifest_path(out_dir, name, pid)) as f:
+                    rows.append(json.load(f))
+            frames[name] = pd.DataFrame(rows)
+        return frames
+
     def kernel(part: pd.DataFrame, pid: int) -> pd.DataFrame:
         import json
 

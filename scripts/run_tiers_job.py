@@ -1,0 +1,114 @@
+"""Tier-rollup job entrypoint — the ``ray job submit`` surface.
+
+    ray job submit -- python scripts/run_tiers_job.py \
+        --input /data/transcripts --out /data/tiers \
+        [--key conv_id --date-column ts --value-column value] \
+        [--partitions 256] [--gap-fill] [--encode] [--no-resume]
+
+Runs the fused raw→1m→1h→1d cascade with per-partition lineage manifests
+(resume-after-failure: re-submitting the same job skips committed
+partitions), optionally Gorilla/delta-of-delta-encodes each tier into chunk
+tables, and writes a metrics JSON next to the output.
+
+Owns its Ray session (guarded init — under ``ray job submit`` the cluster
+address is picked up from the environment)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet file/dir of transcripts")
+    ap.add_argument("--out", required=True, help="output root for tiers + manifests")
+    ap.add_argument("--key", default="conv_id")
+    ap.add_argument("--date-column", default="ts")
+    ap.add_argument("--value-column", default="value")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--tiers", default="1min,1h,1D")
+    ap.add_argument("--gap-fill", action="store_true")
+    ap.add_argument("--encode", action="store_true",
+                    help="also write Gorilla/DoD chunk tables per tier")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from pytimetk_ray.pipelines.tiers import TIER_NAMES, rollup_tiers
+    from pytimetk_ray.stages.tier_encoder import TierEncoder
+    from pytimetk_ray.state.manifest import fingerprint_inputs
+
+    paths = args.input
+    if os.path.isdir(paths):
+        files = [os.path.join(paths, f) for f in sorted(os.listdir(paths)) if f.endswith(".parquet")]
+    else:
+        files = [paths]
+    fp = fingerprint_inputs(files, {"tiers": args.tiers, "gap_fill": args.gap_fill})
+
+    t0 = time.time()
+    ds = rd.read_parquet(paths, columns=[args.key, args.date_column, args.value_column])
+    tiers = tuple(args.tiers.split(","))
+    res = rollup_tiers(
+        ds, out_dir=args.out, key=args.key, date_column=args.date_column,
+        value_column=args.value_column, tiers=tiers,
+        num_partitions=args.partitions, input_fingerprint=fp,
+        resume=not args.no_resume, gap_fill=args.gap_fill,
+    )
+    rollup_sec = time.time() - t0
+
+    metrics = {
+        "input_files": len(files),
+        "fingerprint": fp,
+        "rollup_sec": round(rollup_sec, 3),
+        "tiers": {},
+    }
+    points = 0
+    for name, m in res.items():
+        rows = int(m["row_count"].sum())
+        points += rows
+        metrics["tiers"][name] = {
+            "partitions": int(len(m)),
+            "rows": rows,
+            "all_committed": bool((m["status"] == "committed").all()),
+        }
+    metrics["rolledup_points"] = points
+    metrics["points_per_sec"] = round(points / rollup_sec, 1)
+
+    if args.encode:
+        t1 = time.time()
+        for freq in tiers:
+            name = TIER_NAMES.get(freq, freq)
+            tds = rd.read_parquet(os.path.join(args.out, f"tier={name}"))
+            tds.map_batches(
+                TierEncoder,
+                fn_constructor_kwargs=dict(tier=name),
+                batch_format="pandas",
+                batch_size=65536,
+                concurrency=4,
+            ).write_parquet(os.path.join(args.out, f"chunks={name}"))
+        metrics["encode_sec"] = round(time.time() - t1, 3)
+
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
