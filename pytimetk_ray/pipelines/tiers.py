@@ -28,8 +28,9 @@ combine-order nondeterminism entirely.
 Skew: P partitions of many conversations each; a hot conversation caps a
 partition at its own size, and because aggregation happens inside the
 partition task (a partial aggregate), the data volume leaving any task is
-proportional to buckets, not rows.  For pathological single-conv skew see
-``salt`` in ops/summarize_by_time (sum/count/min/max compose across salts).
+proportional to buckets, not rows.  For pathological single-conv skew pass
+``salt=S`` — explicit hot-conversation salting by tier-1 bucket hash (see
+the rollup_tiers docstring; bit-equality preserved).
 """
 
 from __future__ import annotations
@@ -102,6 +103,9 @@ def rollup_tiers(
     input_fingerprint: str = "",
     resume: bool = True,
     gap_fill: bool = False,
+    salt: int | None = None,
+    _from_tier: bool = False,
+    _part_keys: Sequence[str] | None = None,
 ) -> dict[str, pd.DataFrame]:
     """Run the tier cascade; returns {tier_name: manifest frame}.
 
@@ -117,7 +121,25 @@ def rollup_tiers(
     ``gap_fill=True`` regularizes tier 1 onto its dense grid (pad_by_time
     semantics, zero-filled buckets) before rollup, per the north_rule's
     "gap-filled on regularized ts grids".
+
+    ``salt=S`` enables EXPLICIT HOT-CONVERSATION SALTING (north_rule): the
+    raw→tier-1 stage partitions by ``(conv_id, hash(minute_bucket) % S)`` so
+    a single hot conversation spreads over up to S partitions instead of
+    capping one task.  Because the salt is a function of the tier-1 BUCKET,
+    every (conv, bucket) still lands wholly in one partition — so tier-1
+    float accumulation order is unchanged and bit-equality holds.  Upper
+    tiers re-gather by conv_id alone (tier-1 output is tiny relative to
+    raw), which also preserves the sorted accumulation order tier-over-tier.
     """
+    if salt and salt > 1 and not _from_tier:
+        if gap_fill:
+            raise NotImplementedError("gap_fill with salting not supported yet")
+        return _rollup_salted(
+            ds, out_dir=out_dir, key=key, date_column=date_column,
+            value_column=value_column, tiers=tuple(tiers),
+            num_partitions=num_partitions, input_fingerprint=input_fingerprint,
+            resume=resume, salt=salt,
+        )
     tier_names = [TIER_NAMES.get(f, f) for f in tiers]
     fps = {}
     committed = {}
@@ -151,8 +173,11 @@ def rollup_tiers(
         ts_np = part[date_column].to_numpy()
         unit = _np_unit(ts_np)
         codes, uniques = pd.factorize(part[key], sort=False)
-        vals = part[value_column].to_numpy(dtype=np.float64)
-        has_nan = bool(np.isnan(vals).any())
+        if _from_tier:
+            vals, has_nan = None, False
+        else:
+            vals = part[value_column].to_numpy(dtype=np.float64)
+            has_nan = bool(np.isnan(vals).any())
         agg = None  # (codes, bucket_i64, sum, count, min, max)
         for i, (freq, name) in enumerate(zip(tiers, tier_names)):
             if pid in committed[name]:
@@ -166,7 +191,17 @@ def rollup_tiers(
                 continue
             if i == 0:
                 bucket = floor_i64(ts_np.astype(np.int64), unit, freq)
-                if has_nan:
+                if _from_tier:
+                    # input rows are already tier aggregates: re-aggregate
+                    c, b, s_, cnt, mn, mx = _segment_rollup(
+                        codes, bucket,
+                        part["value_sum"].to_numpy(dtype=np.float64),
+                        part["value_count"].to_numpy(dtype=np.int64),
+                        part["value_min"].to_numpy(dtype=np.float64),
+                        part["value_max"].to_numpy(dtype=np.float64),
+                    )
+                    agg = (c, b, s_, cnt, mn, mx)
+                elif has_nan:
                     src = pd.DataFrame({"c": codes, "b": bucket, "v": vals})
                     g = src.groupby(["c", "b"], sort=False)["v"].agg(
                         value_sum="sum", value_count="count",
@@ -214,7 +249,7 @@ def rollup_tiers(
 
     all_manifests = partitioned_group_map(
         ds,
-        [key],
+        list(_part_keys) if _part_keys else [key],
         kernel,
         sort_by=[key, date_column],
         num_partitions=num_partitions,
@@ -224,6 +259,51 @@ def rollup_tiers(
         name: all_manifests[all_manifests["tier"] == name].reset_index(drop=True)
         for name in tier_names
     }
+
+
+def _rollup_salted(ds, *, out_dir, key, date_column, value_column, tiers,
+                   num_partitions, input_fingerprint, resume, salt):
+    """Two-stage salted cascade (see rollup_tiers docstring)."""
+    import pyarrow as pa
+
+    from pytimetk_ray.freq import floor_i64
+
+    tier0 = tiers[0]
+    name0 = TIER_NAMES.get(tier0, tier0)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        col = batch[date_column]
+        unit = col.type.unit
+        i64 = col.combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = floor_i64(i64, unit, tier0)
+        sv = (pd.util.hash_array(b) % np.uint64(salt)).astype(np.int64)
+        if "__salt__" in batch.column_names:
+            batch = batch.drop_columns(["__salt__"])
+        return batch.append_column("__salt__", pa.array(sv))
+
+    tagged = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None,
+                            zero_copy_batch=True)
+    res_a = rollup_tiers(
+        tagged, out_dir=out_dir, key=key, date_column=date_column,
+        value_column=value_column, tiers=(tier0,),
+        num_partitions=num_partitions,
+        input_fingerprint=f"{input_fingerprint}|salt{salt}", resume=resume,
+        _part_keys=[key, "__salt__"],
+    )
+    if len(tiers) == 1:
+        return res_a
+    src_b = rd.read_parquet(
+        os.path.join(out_dir, f"tier={name0}"),
+        columns=[key, "bucket_ts", "value_sum", "value_count", "value_min", "value_max"],
+    )
+    res_b = rollup_tiers(
+        src_b, out_dir=out_dir, key=key, date_column="bucket_ts",
+        value_column=value_column, tiers=tuple(tiers[1:]),
+        num_partitions=num_partitions,
+        input_fingerprint=f"{input_fingerprint}|salt{salt}|from_{name0}",
+        resume=resume, _from_tier=True,
+    )
+    return {name0: res_a[name0], **res_b}
 
 
 def read_tier(out_dir: str, tier: str) -> rd.Dataset:

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--tiers", default="1min,1h,1D")
     ap.add_argument("--gap-fill", action="store_true")
+    ap.add_argument("--salt", type=int, default=None,
+                    help="hot-conversation salting factor (tier-1 bucket hash)")
     ap.add_argument("--encode", action="store_true",
                     help="also write Gorilla/DoD chunk tables per tier")
     ap.add_argument("--no-resume", action="store_true")
@@ -68,7 +70,7 @@ def main() -> None:
         ds, out_dir=args.out, key=args.key, date_column=args.date_column,
         value_column=args.value_column, tiers=tiers,
         num_partitions=args.partitions, input_fingerprint=fp,
-        resume=not args.no_resume, gap_fill=args.gap_fill,
+        resume=not args.no_resume, gap_fill=args.gap_fill, salt=args.salt,
     )
     rollup_sec = time.time() - t0
 

@@ -1,0 +1,65 @@
+"""Hot-conversation salting: bit-equality with the unsalted cascade and
+actual spreading of the hot conversation across partitions."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pytimetk_ray.pipelines.tiers import rollup_tiers
+from pytimetk_ray.sources.transcripts import add_value_column, make_transcripts
+
+
+def read_tier_pandas(out_dir, tier):
+    files = sorted(glob.glob(os.path.join(out_dir, f"tier={tier}", "*.parquet")))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def test_salted_cascade_bit_equal(tmp_path):
+    # conv000000 is hot (hot_conv_factor multiplies its turn count)
+    corpus = add_value_column(make_transcripts(40, seed=13, hot_conv_factor=100))
+    base, salted = str(tmp_path / "base"), str(tmp_path / "salted")
+    rollup_tiers(rd.from_pandas(corpus), out_dir=base, num_partitions=8,
+                 input_fingerprint="b", resume=False)
+    rollup_tiers(rd.from_pandas(corpus), out_dir=salted, num_partitions=8,
+                 input_fingerprint="s", resume=False, salt=4)
+
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier_pandas(base, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        b = read_tier_pandas(salted, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        assert len(a) == len(b), tier
+        np.testing.assert_array_equal(a["conv_id"], b["conv_id"])
+        np.testing.assert_array_equal(
+            a["bucket_ts"].to_numpy(), b["bucket_ts"].to_numpy())
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy().view(np.uint64), b[col].to_numpy().view(np.uint64),
+                err_msg=f"{tier}:{col}")
+        np.testing.assert_array_equal(a["value_count"], b["value_count"])
+
+    # the hot conversation's tier-1 rows actually SPREAD across partitions
+    hot_parts = 0
+    for f in glob.glob(os.path.join(salted, "tier=1m", "*.parquet")):
+        if (pd.read_parquet(f, columns=["conv_id"])["conv_id"] == "conv000000").any():
+            hot_parts += 1
+    assert hot_parts >= 2, "hot conv should span multiple salted partitions"
+
+
+def test_salted_resume(tmp_path):
+    corpus = add_value_column(make_transcripts(20, seed=3))
+    out = str(tmp_path / "t")
+    r1 = rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=4,
+                      input_fingerprint="x", salt=3)
+    before = read_tier_pandas(out, "1d")
+    r2 = rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=4,
+                      input_fingerprint="x", salt=3)
+    after = read_tier_pandas(out, "1d")
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "bucket_ts"], ignore_index=True),
+        after.sort_values(["conv_id", "bucket_ts"], ignore_index=True),
+    )
+    assert set(r1) == set(r2) == {"1m", "1h", "1d"}
