@@ -36,6 +36,23 @@ from pytimetk_ray.ops.sequences import (
 )
 from pytimetk_ray.ops.signal import augment_hilbert, augment_wavelet
 from pytimetk_ray.ops import finance
+from pytimetk_ray.ops.frame_utils import (
+    ceil_date,
+    drop_zero_variance,
+    floor_date,
+    glimpse,
+    sort_dataset,
+    transform_columns,
+)
+from pytimetk_ray.ops.frequency import (
+    get_frequency,
+    get_frequency_summary,
+    get_seasonal_frequency,
+    get_trend_frequency,
+    time_scale_template,
+)
+from pytimetk_ray.ops.spline import augment_spline
+from pytimetk_ray.ops.stubs import ts_features
 from pytimetk_ray.ops.finance import (
     augment_atr,
     augment_bbands,

@@ -119,6 +119,57 @@ def minhash_lsh_pairs(
     return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
 
 
+# --- connected components over dup pairs ------------------------------------
+
+def dedup_components(pairs: rd.Dataset, *, id_column: str = "doc_id",
+                     max_rounds: int = 10) -> rd.Dataset:
+    """Transitive duplicate clusters via iterative min-label propagation.
+
+    Input: (id_a, id_b) pair rows.  Output: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph.  Each round is
+    one groupby (label <- min over neighborhood); converges in O(diameter)
+    rounds — pair graphs from LSH dedup have tiny components, so a handful
+    of rounds suffices (``max_rounds`` caps pathological chains)."""
+    import pandas as pd
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([batch["id_a"].to_numpy(), batch["id_b"].to_numpy()]),
+                "nbr": np.concatenate([batch["id_b"].to_numpy(), batch["id_a"].to_numpy()]),
+            }
+        )
+
+    edges = pairs.map_batches(explode, batch_format="pandas")
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        lab = min(g["node"].iloc[0], g["lbl"].min())
+        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [lab]})
+
+    # labels start as the node ids themselves, propagated over neighbors
+    labels = (
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "lbl": b["nbr"]}),
+            batch_format="pandas",
+        )
+        .groupby("node")
+        .map_groups(min_label, batch_format="pandas")
+    )
+    for _ in range(max_rounds - 1):
+        labels_pdf = labels.to_pandas()  # small: only duplicate nodes
+        lab_map = dict(zip(labels_pdf["node"], labels_pdf["label"]))
+        nxt = {n: min(l, lab_map.get(l, l)) for n, l in lab_map.items()}
+        if nxt == lab_map:
+            break
+        labels = rd.from_pandas(
+            pd.DataFrame({"node": list(nxt), "label": list(nxt.values())})
+        )
+    return labels.map_batches(
+        lambda b: pd.DataFrame({id_column: b["node"], "cluster_id": b["label"]}),
+        batch_format="pandas",
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_pairs(
