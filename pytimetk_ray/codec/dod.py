@@ -23,34 +23,49 @@ _MASK64 = (1 << 64) - 1
 
 
 def dod_encode(ts: np.ndarray) -> bytes:
-    """Encode an int64 timestamp array (any storage unit) to a bitstream."""
+    """Encode an int64 timestamp array (any storage unit) to a bitstream.
+
+    Deltas/delta-of-deltas are vectorized; bit-packing accumulates into one
+    big int flushed with a single ``to_bytes`` (fast path: all-zero DoD —
+    a perfectly regular grid — is emitted with shift-only arithmetic)."""
     t = np.ascontiguousarray(ts, dtype=np.int64)
     n = len(t)
-    w = BitWriter()
     if n == 0:
-        return w.getvalue()
-    w.write(int(t[0]) & _MASK64, 64)
-    if n == 1:
-        return w.getvalue()
-    deltas = np.diff(t)
-    w.write(int(deltas[0]) & _MASK64, 64)
-    dods = np.diff(deltas)
-    for d in dods.tolist():
-        if d == 0:
-            w.write(0, 1)
-        elif -63 <= d <= 64:
-            w.write(0b10, 2)
-            w.write(d + 63, 7)
-        elif -255 <= d <= 256:
-            w.write(0b110, 3)
-            w.write(d + 255, 9)
-        elif -2047 <= d <= 2048:
-            w.write(0b1110, 4)
-            w.write(d + 2047, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(d & _MASK64, 64)
-    return w.getvalue()
+        return b""
+    chunks: list[bytes] = []
+    acc = int(t[0]) & _MASK64
+    nbits = 64
+    if n > 1:
+        deltas = np.diff(t)
+        acc = (acc << 64) | (int(deltas[0]) & _MASK64)
+        nbits += 64
+        dods = np.diff(deltas).tolist()
+        for d in dods:
+            if d == 0:
+                acc <<= 1
+                nbits += 1
+            elif -63 <= d <= 64:
+                acc = (acc << 9) | (2 << 7) | (d + 63)
+                nbits += 9
+            elif -255 <= d <= 256:
+                acc = (acc << 12) | (6 << 9) | (d + 255)
+                nbits += 12
+            elif -2047 <= d <= 2048:
+                acc = (acc << 16) | (14 << 12) | (d + 2047)
+                nbits += 16
+            else:
+                acc = (acc << 68) | (15 << 64) | (d & _MASK64)
+                nbits += 68
+            if nbits >= 1024:
+                keep = nbits & 7
+                take = nbits - keep
+                chunks.append((acc >> keep).to_bytes(take >> 3, "big"))
+                acc &= (1 << keep) - 1
+                nbits = keep
+    pad = (-nbits) % 8
+    acc <<= pad
+    chunks.append(acc.to_bytes((nbits + pad) // 8, "big"))
+    return b"".join(chunks)
 
 
 def dod_decode(blob: bytes, n: int) -> np.ndarray:
