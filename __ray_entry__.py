@@ -365,6 +365,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "is_holiday", "before_holiday",
                                   "after_holiday"])
 
+    def augment_pct_change(sf_dir):
+        ds = tk.augment_pct_change(_events(sf_dir), ["user_id"], ["ts"], "value", periods=1)
+        ds = _nan_to_null(ds, ["value_pctdiff_1"])
+        return ds.select_columns(["event_id", "user_id", "value", "value_pctdiff_1"])
+
+    def week_of_month(sf_dir):
+        from pytimetk_ray.ops.sequences import week_of_month as wom
+
+        def fn(batch):
+            return pd.DataFrame({"event_id": batch["event_id"], "wom": wom(batch["ts"])})
+
+        return _events(sf_dir).map_batches(fn, batch_format="pandas")
+
+    def weekday_sequence(sf_dir):
+        from pytimetk_ray.ops.sequences import make_weekday_sequence
+
+        days = make_weekday_sequence("2024-01-01", "2024-03-31")
+        return pd.DataFrame({"d": pd.to_datetime(days).astype("datetime64[us]")})
+
     def corr_funnel(sf_dir):
         # binarize + distributed pearson; rows-only (driver-side result)
         ev = _events(sf_dir).select_columns(["value", "event_type"])
@@ -417,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
         "corr_funnel": corr_funnel,
+        "augment_pct_change": augment_pct_change,
+        "week_of_month": week_of_month,
+        "weekday_sequence": weekday_sequence,
     }
 
 
@@ -601,6 +623,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
+        "augment_pct_change": """
+            SELECT event_id, user_id, value,
+                   value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS value_pctdiff_1
+            FROM events
+        """,
+        "week_of_month": """
+            SELECT event_id, CAST((day(ts) - 1) // 7 + 1 AS BIGINT) AS wom FROM events
+        """,
+        "weekday_sequence": """
+            SELECT d FROM (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2024-03-31', INTERVAL 1 DAY)) AS d
+            ) WHERE isodow(d) <= 5
         """,
         "fin_roc_drawdown": """
             SELECT event_id, user_id, value,

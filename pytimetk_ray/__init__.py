@@ -54,6 +54,7 @@ from pytimetk_ray.ops.frequency import (
 from pytimetk_ray.ops.spline import augment_spline
 from pytimetk_ray.ops.stubs import ts_features
 from pytimetk_ray.ops.finance import (
+    augment_adx,
     augment_atr,
     augment_bbands,
     augment_cmo,

@@ -137,6 +137,47 @@ def augment_atr(ds: rd.Dataset, group_keys, order_by, high_column: str,
     return _op(ds, group_keys, order_by, kernel, **kw)
 
 
+def augment_adx(ds: rd.Dataset, group_keys, order_by, high_column: str,
+                low_column: str, close_column: str, periods=14, **kw) -> rd.Dataset:
+    """Wilder DI/ADX: true range + directional movement, Wilder-smoothed with
+    ``ewm(alpha=1/p, adjust=False, min_periods=p)`` (reference adx.py:295-344);
+    columns ``{c}_plus_di_{p}``, ``{c}_minus_di_{p}``, ``{c}_adx_{p}``."""
+    ps = _periods(periods)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby(list(group_keys), sort=False, group_keys=False)
+        prev_close = gb[close_column].shift(1)
+        prev_high = gb[high_column].shift(1)
+        prev_low = gb[low_column].shift(1)
+        h, l = part[high_column], part[low_column]
+        tr = pd.concat([h - l, (h - prev_close).abs(), (l - prev_close).abs()], axis=1).max(axis=1)
+        up, dn = h - prev_high, prev_low - l
+        plus_dm = pd.Series(np.where(up > dn, np.maximum(up, 0), 0.0), index=part.index)
+        minus_dm = pd.Series(np.where(dn > up, np.maximum(dn, 0), 0.0), index=part.index)
+        gcodes = part.groupby(list(group_keys), sort=False).ngroup()
+        for p in ps:
+            a = 1.0 / p
+
+            def wilder(s):
+                return s.groupby(gcodes).transform(
+                    lambda x: x.ewm(alpha=a, adjust=False, min_periods=p).mean()
+                )
+
+            trs, pds_, mds = wilder(tr), wilder(plus_dm), wilder(minus_dm)
+            plus_di = 100 * pds_ / trs
+            minus_di = 100 * mds / trs
+            dx = 100 * (plus_di - minus_di).abs() / (plus_di + minus_di)
+            adx = dx.groupby(gcodes).transform(
+                lambda x: x.ewm(alpha=a, adjust=False, min_periods=p).mean()
+            )
+            part[f"{close_column}_plus_di_{p}"] = plus_di.to_numpy()
+            part[f"{close_column}_minus_di_{p}"] = minus_di.to_numpy()
+            part[f"{close_column}_adx_{p}"] = adx.to_numpy()
+        return part
+
+    return _op(ds, group_keys, order_by, kernel, **kw)
+
+
 def augment_cmo(ds: rd.Dataset, group_keys, order_by, close_column: str,
                 periods=14, **kw) -> rd.Dataset:
     ps = _periods(periods)

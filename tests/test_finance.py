@@ -168,3 +168,25 @@ def test_qsmomentum_ewmavol_fip_hurst_risk(ds, px):
     for c in ["close_sharpe_ratio_60", "close_sortino_ratio_60",
               "close_volatility_annualized_60", "close_skewness_60", "close_kurtosis_60"]:
         assert c in out.columns and out[c].notna().sum() > 0
+
+
+def test_adx(ds, px):
+    out = sorted_out(fin.augment_adx(ds, ["symbol"], ["date"], "high", "low", "close", periods=14))
+
+    def oracle(g):
+        pc_, ph, pl = g["close"].shift(1), g["high"].shift(1), g["low"].shift(1)
+        tr = pd.concat([g["high"] - g["low"], (g["high"] - pc_).abs(), (g["low"] - pc_).abs()], axis=1).max(axis=1)
+        up, dn = g["high"] - ph, pl - g["low"]
+        pdm = pd.Series(np.where(up > dn, np.maximum(up, 0), 0.0), index=g.index)
+        mdm = pd.Series(np.where(dn > up, np.maximum(dn, 0), 0.0), index=g.index)
+        a = 1 / 14
+        w = lambda s: s.ewm(alpha=a, adjust=False, min_periods=14).mean()
+        pdi = 100 * w(pdm) / w(tr)
+        mdi = 100 * w(mdm) / w(tr)
+        dx = 100 * (pdi - mdi).abs() / (pdi + mdi)
+        return pd.DataFrame({"pdi": pdi, "mdi": mdi, "adx": w(dx)})
+
+    exp, _ = per_group(px, oracle)
+    np.testing.assert_allclose(out["close_plus_di_14"], exp["pdi"], rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(out["close_minus_di_14"], exp["mdi"], rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(out["close_adx_14"], exp["adx"], rtol=1e-9, equal_nan=True)
