@@ -45,12 +45,14 @@ def _round_cols(ds, cols, digits=6):
 
 
 def _nan_to_null(ds, cols):
-    """NaN -> null for float columns that must NOT be rounded (exact-copy
-    semantics, e.g. lag/lead/diff outputs)."""
+    """NaN/inf -> null for float columns that must NOT be rounded (exact-copy
+    semantics, e.g. lag/lead/diff outputs).  Infinities also become null
+    because DuckDB float division-by-zero yields NULL, not IEEE inf."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
             v = batch[c].astype(np.float64).to_numpy()
+            v = np.where(np.isfinite(v), v, np.nan)
             batch[c] = pd.array(v, dtype="Float64")
         return batch
 
