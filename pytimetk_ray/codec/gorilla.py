@@ -60,12 +60,17 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     nbits = 64
     if n > 1:
         xors = np.bitwise_xor(v[1:], v[:-1])
-        lead = _clz64(xors)
-        np.minimum(lead, 31, out=lead)  # 5-bit leading field
-        trail = _ctz64(xors)
         xl = xors.tolist()
-        ll = lead.tolist()
-        tl = trail.tolist()
+        if n <= 128:
+            # scalar bit ops beat 12 numpy array passes on tiny chunks
+            ll = [min(64 - x.bit_length(), 31) for x in xl]
+            tl = [((x & -x).bit_length() - 1) if x else 64 for x in xl]
+        else:
+            lead = _clz64(xors)
+            np.minimum(lead, 31, out=lead)  # 5-bit leading field
+            trail = _ctz64(xors)
+            ll = lead.tolist()
+            tl = trail.tolist()
         prev_lead, prev_len = -1, -1
         prev_trail = 65
         for i in range(n - 1):

@@ -5,11 +5,11 @@ Reference: src/pytimetk/core/apply_by_time.py:54-70 (signature: ``freq`` +
 engine's UDF escape hatch: each named function receives the bucket's
 DataFrame and returns a scalar; outputs are columns named after the kwargs.
 
-Execution: floor to bucket (zero-copy Arrow kernel) then
-``groupby(group_keys + [bucket]).map_groups`` — the UDFs ride along as
-cloudpickled callables; Ray schedules one task per group with backpressure.
-For built-in aggregations use ``summarize_by_time`` (vectorized hash
-aggregate) instead.
+Execution: floor to bucket (zero-copy Arrow kernel) then hash-partition by
+the group keys — ONE task per partition iterates its buckets with a pandas
+groupby-apply (the UDFs ride along as cloudpickled callables).  One task per
+partition (thousands of buckets each), not one task per bucket.  For
+built-in aggregations use ``summarize_by_time`` (vectorized) instead.
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ import pandas as pd
 
 import ray.data as rd
 
+from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
 from pytimetk_ray.kernels.bucket import add_bucket_column
 
 
@@ -30,6 +31,7 @@ def apply_by_time(
     freq: str = "D",
     by: Sequence[str] = (),
     bucket_column: str = "bucket_ts",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
     **named_funcs: Callable[[pd.DataFrame], object],
 ) -> rd.Dataset:
     """One output row per (by..., bucket): ``{name: fn(bucket_df)}``."""
@@ -40,16 +42,27 @@ def apply_by_time(
     ds = ds.map_batches(
         add_bucket_column,
         batch_format="pyarrow",
+        batch_size=None,
         fn_kwargs=dict(date_column=date_column, freq=freq, out_column=bucket_column),
         zero_copy_batch=True,
     )
 
     keys = by + [bucket_column]
+    part_keys = by if by else [bucket_column]
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
-        for name, fn in named_funcs.items():
-            row[name] = [fn(g)]
-        return pd.DataFrame(row)
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        out_keys: dict[str, list] = {k: [] for k in keys}
+        out_vals: dict[str, list] = {name: [] for name in named_funcs}
+        for kv, g in part.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out_keys[k].append(v)
+            for name, fn in named_funcs.items():
+                out_vals[name].append(fn(g))
+        return pd.DataFrame({**out_keys, **out_vals})
 
-    return ds.groupby(keys).map_groups(per_bucket, batch_format="pandas")
+    return partitioned_group_map(
+        ds, part_keys, kernel, sort_by=keys,
+        num_partitions=num_partitions if by else min(num_partitions, 16),
+    )
