@@ -105,12 +105,46 @@ def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    """Set of 64-bit hashes of word k-shingles."""
+    """Set of 64-bit hashes of word k-shingles (scalar path, used by the
+    exact-Jaccard verifier; the sketch pipeline uses the vectorized
+    ``shingle_hashes``)."""
     words = _WORD_RE.findall((text or "").lower())
     if len(words) < k:
         joined = " ".join(words)
         return {_h64(joined)} if joined else set()
     return {_h64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64)
+
+
+def word_hashes(text: str) -> np.ndarray:
+    """uint64 hash per word (vectorized pandas hash over the word array)."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(words, dtype=object))
+
+
+def shingle_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
+    """Unique uint64 hashes of word k-shingles from per-word hashes —
+    one vectorized polynomial combine over sliding windows (no per-shingle
+    Python hashing)."""
+    n = len(wh)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for i, m in enumerate(wh):
+            h = h * _SHINGLE_MIX[0] + m
+        return np.array([h], dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_MIX[0] + wh[j : n - k + 1 + j] * _SHINGLE_MIX[(j + 1) % len(_SHINGLE_MIX)]
+    return np.unique(acc)
 
 
 def _h64(s: str) -> int:
@@ -129,13 +163,16 @@ def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.nd
     return a, b
 
 
-def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*x + b) mod p over the shingle set."""
-    if not shingles:
+def minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x + b) mod p over the shingle hashes (set or
+    uint64 array)."""
+    if isinstance(shingles, np.ndarray):
+        x = shingles.astype(np.uint64, copy=False)
+    else:
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    if len(x) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    # (a*x+b) mod p in python-int precision via object? use uint64 wrap: ok for
-    # hashing purposes (wrapping is itself a fixed permutation-ish mix)
+    # uint64 wrap then mod Mersenne: a fixed permutation-ish mix, vectorized
     vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)
 
@@ -158,19 +195,15 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash(text: str) -> int:
-    """64-bit SimHash over word features."""
-    words = _WORD_RE.findall((text or "").lower())
-    if not words:
+    """64-bit SimHash over word features (vectorized bit counting)."""
+    wh = word_hashes(text)
+    if len(wh) == 0:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = _h64(w)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+    bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(wh)  # (+1/-1 votes)
     out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.flatnonzero(acc > 0):
+        out |= 1 << int(bit)
     return out
 
 

@@ -73,7 +73,9 @@ def minhash_lsh_pairs(
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         ids, bands, band_hashes, sigs = [], [], [], []
         for doc_id, text in zip(batch[id_column], batch[text_column]):
-            sig = tx.minhash_signature(tx.word_shingles(text, shingle_k), a, b)
+            sig = tx.minhash_signature(
+                tx.shingle_hashes(tx.word_hashes(text), shingle_k), a, b
+            )
             for band_id, bh in enumerate(tx.minhash_bands(sig, num_bands)):
                 ids.append(doc_id)
                 bands.append(band_id)
