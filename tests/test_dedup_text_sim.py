@@ -154,3 +154,25 @@ def test_multimodal_stub():
     c = out[out["media_id"] == 3]["pixels"].iloc[0]
     np.testing.assert_array_equal(a, c)  # deterministic fake decode
     assert len(a) == 32 * 32 * 3
+
+
+def test_prepare_training_data(docs_df, tmp_path):
+    from pytimetk_ray.pipelines.prep import prepare_training_data
+
+    out, stats = prepare_training_data(
+        rd.from_pandas(docs_df), out_dir=str(tmp_path / "prep"),
+        min_tokens=3, neardup_threshold=0.6, concurrency=2,
+    )
+    df = out.to_pandas()
+    assert stats["input_rows"] == len(docs_df)
+    assert stats["output_rows"] == len(df)
+    # exact duplicates gone: texts unique
+    assert df["text"].nunique() == len(df)
+    # planted near-dups (tail-append) mostly removed
+    assert stats["neardup_dropped"] >= 2
+    # manifest written
+    import json, os
+
+    with open(tmp_path / "prep" / "manifest.json") as f:
+        m = json.load(f)
+    assert m["output_rows"] == len(df)
