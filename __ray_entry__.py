@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def fourier(sf_dir):
         ds = tk.augment_fourier(_events(sf_dir), ["user_id"], "ts", periods=24, max_order=1)
+        ds = _round_cols(ds, ["ts_sin_1_24", "ts_cos_1_24"])
         return ds.select_columns(["event_id", "ts_sin_1_24", "ts_cos_1_24"])
 
     def tier_rollup_1h(sf_dir):
@@ -570,6 +571,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('day', ts) AS bucket_ts,
                    ROUND(MAX(value) - MIN(value), 6) AS value_range
             FROM events GROUP BY 1, 2
+        """,
+        "fourier": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS diff_us
+                FROM events
+            ), sc AS (
+                SELECT user_id, quantile_cont(diff_us, 0.5) / 1e6 AS med_s
+                FROM d GROUP BY 1
+            )
+            SELECT e.event_id,
+                   ROUND(sin(2 * pi() * 1 * ((epoch_us(e.ts) * 1000 / 1e9) / sc.med_s) / 24), 6)
+                       AS ts_sin_1_24,
+                   ROUND(cos(2 * pi() * 1 * ((epoch_us(e.ts) * 1000 / 1e9) / sc.med_s) / 24), 6)
+                       AS ts_cos_1_24
+            FROM events e JOIN sc USING (user_id)
         """,
         "tier_rollup_1h": """
             SELECT user_id AS conv_id,

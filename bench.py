@@ -53,9 +53,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from pytimetk_ray.pipelines.tiers import rollup_tiers
 
     corpus = ensure_corpus()
+    big_corpus = ensure_corpus(SCALING_CONVS, fast_text=True)  # headline cascade corpus
     # warm the page cache so we measure compute + shuffle, not first disk read
     rd.read_parquet(corpus).count()
-    n_turns = rd.read_parquet(corpus).count()
+    rd.read_parquet(big_corpus).count()
+    n_turns = rd.read_parquet(big_corpus).count()
 
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -67,18 +69,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         return out
 
     # --- headline: tier cascade over transcripts ---------------------------
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="bench_tiers_"), "t")
+    import shutil
 
-    def cascade():
-        ds = rd.read_parquet(corpus, columns=["conv_id", "ts", "value"],
-                             override_num_blocks=max(num_cpus, 16))
+    def cascade(src, tag):
+        out_dir = os.path.join(tempfile.mkdtemp(prefix="bench_tiers_"), "t")
+        ds = rd.read_parquet(src, columns=["conv_id", "ts", "value"],
+                             override_num_blocks=64)
         res = rollup_tiers(ds, out_dir=out_dir, key="conv_id", date_column="ts",
-                           value_column="value", num_partitions=max(num_cpus, 16),
-                           input_fingerprint="bench", resume=False)
-        return res
+                           value_column="value", num_partitions=64,
+                           input_fingerprint=tag, resume=False)
+        return res, out_dir
 
-    res = timed("tier_cascade", cascade)
+    # untimed warm-up: Ray worker-pool startup is session cost, not cascade cost
+    _, warm_dir = cascade(corpus, "warm")
+    shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
+    res, out_dir = timed("tier_cascade", lambda: cascade(big_corpus, "bench"))
     points = int(sum(m["row_count"].sum() for m in res.values()))
+    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
     extra["rolledup_points"] = points
     extra["input_turns"] = int(n_turns)
     extra["points_per_sec"] = round(points / queries["tier_cascade"], 1)

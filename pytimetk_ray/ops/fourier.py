@@ -37,14 +37,15 @@ def augment_fourier(
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         ns = part[date_column].astype("datetime64[ns]").astype(np.int64)
         secs = ns / 1e9
-        g = part.groupby(group_keys, sort=False) if group_keys else None
-        if g is not None:
-            med = part.assign(__s__=secs).groupby(group_keys, sort=False)["__s__"].transform(
+        # median timestep from EXACT integer-ns diffs (diffing pre-divided
+        # float seconds would quantize at the double's ~µs ulp)
+        if group_keys:
+            med_ns = part.assign(__ns__=ns).groupby(group_keys, sort=False)["__ns__"].transform(
                 lambda s: s.diff().median()
             )
-            scale = med.to_numpy()
+            scale = med_ns.to_numpy() / 1e9
         else:
-            scale = np.full(len(part), pd.Series(secs).diff().median())
+            scale = np.full(len(part), pd.Series(ns).diff().median() / 1e9)
         scale = np.where((scale == 0) | ~np.isfinite(scale), 1.0, scale)
         x = secs.to_numpy() / scale
         for period in periods:
