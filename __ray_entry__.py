@@ -363,8 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   "value_hilbert_imag"])
 
     def holiday_signature(sf_dir):
-        # algorithmic US calendar; rows-only
         ds = augment_holiday_signature(_events(sf_dir), "ts", concurrency=2)
+        ds = _cast_int64(ds, ["is_holiday", "before_holiday", "after_holiday"])
         return ds.select_columns(["event_id", "is_holiday", "before_holiday",
                                   "after_holiday"])
 
@@ -658,6 +658,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
                                               TIMESTAMP '2024-03-31', INTERVAL 1 DAY)) AS d
             ) WHERE isodow(d) <= 5
+        """,
+        "holiday_signature": """
+            -- deterministic US-federal calendar around the events' Jan-2024 span
+            WITH h AS (
+                SELECT UNNEST(['2023-12-25','2024-01-01','2024-01-15','2024-02-19',
+                               '2024-05-27','2024-06-19','2024-07-04']::DATE[]) AS d
+            )
+            SELECT event_id,
+                   CAST(CAST(ts AS DATE) IN (SELECT d FROM h) AS BIGINT) AS is_holiday,
+                   CAST(CAST(ts AS DATE) + 1 IN (SELECT d FROM h) AS BIGINT) AS before_holiday,
+                   CAST(CAST(ts AS DATE) - 1 IN (SELECT d FROM h) AS BIGINT) AS after_holiday
+            FROM events
         """,
         "fin_roc_drawdown": """
             SELECT event_id, user_id, value,

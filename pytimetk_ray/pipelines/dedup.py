@@ -92,21 +92,21 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({ "id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_column, kind="mergesort")
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_column, kind="mergesort").drop_duplicates(id_column)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
         ids = g[id_column].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        ra, rb, rj = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if ids[i] == ids[j]:
-                    continue
-                ej = tx.est_jaccard(sigs[i], sigs[j])
-                if ej >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(ej)
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "est_jaccard": rj})
+        S = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])  # (n, perm)
+        # vectorized pairwise signature-match fraction (buckets are small)
+        eq = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(n, k=1)
+        ej = eq[iu]
+        mask = ej >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[0][mask]], "id_b": ids[iu[1][mask]], "est_jaccard": ej[mask]}
+        )
 
     pairs = (
         ds.map_batches(sketch, batch_format="pandas")

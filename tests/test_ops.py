@@ -235,3 +235,15 @@ def test_fourier(ds, frame):
         assert f"ts_sin_{k}_7" in out.columns and f"ts_cos_{k}_7" in out.columns
     v = out[[f"ts_sin_1_7", f"ts_cos_1_7"]].to_numpy()
     np.testing.assert_allclose((v ** 2).sum(axis=1), 1.0, rtol=1e-9)
+
+
+def test_summarize_wide_format(ds, frame):
+    wide = tk.summarize_by_time(
+        ds, "ts", "v", freq="D", agg_func="sum", by=["g"], wide_format=True, fillna=0
+    )
+    assert isinstance(wide, pd.DataFrame)
+    assert "bucket_ts" in wide.columns
+    value_cols = [c for c in wide.columns if c != "bucket_ts"]
+    assert len(value_cols) == frame["g"].nunique()
+    # total mass preserved
+    np.testing.assert_allclose(wide[value_cols].to_numpy().sum(), frame["v"].sum(), rtol=1e-9)
