@@ -41,9 +41,13 @@ def pad_groups(
     start_date=None,
     end_date=None,
     fillna=None,
+    max_total_rows: int = 100_000_000,
 ) -> pd.DataFrame:
     """Pad every group in ``part`` (pre-sorted by group_keys+date) to a dense
-    grid.  Returns a frame with the same columns."""
+    grid.  Returns a frame with the same columns.
+
+    ``max_total_rows`` guards against grid explosion (a sparse group spanning
+    a long range at a fine frequency): a clear error beats an OOM kill."""
     f = parse_freq(freq)
     group_keys = list(group_keys)
     if f.is_calendar:
@@ -74,6 +78,14 @@ def pad_groups(
     hi = np.full(g, _to_i64(end_date, unit), dtype=np.int64) if end_date is not None else ts[ends]
     counts = np.maximum((hi - lo) // step + 1, 0)
     total = int(counts.sum())
+    if total > max_total_rows:
+        worst = int(counts.max())
+        raise ValueError(
+            f"pad_by_time grid would produce {total:,} rows in one partition "
+            f"(largest group: {worst:,}); the frequency is too fine for the "
+            f"group time spans — use a coarser freq, explicit start/end "
+            f"bounds, or raise max_total_rows"
+        )
 
     grid_gidx = np.repeat(np.arange(g, dtype=np.int64), counts)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)

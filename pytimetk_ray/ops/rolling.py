@@ -61,12 +61,47 @@ def augment_rolling(
     order_by = list(order_by)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from pytimetk_ray.exec import row_number_in_group
+
         g = part.groupby(group_keys, sort=False, group_keys=False)
+        codes = None
         for col in cols:
             for w in windows:
                 mp = w if min_periods is None else min_periods
+                # fast path: sum/mean/min/max via one vectorized pass over
+                # sliding windows — windows that would cross a group boundary
+                # are exactly those with row-in-group < w-1, which
+                # min_periods==w nulls anyway
+                _FAST = {"sum": np.sum, "mean": np.mean, "min": np.min, "max": np.max}
+                fast = [f for f in funcs if f in _FAST]
+                if fast and not center and mp == w and w <= 256:
+                    v = part[col].to_numpy(dtype=np.float64)
+                    if len(v) >= w and not np.isnan(v).any():
+                        if codes is None:
+                            codes = pd.factorize(
+                                part[group_keys[0]] if len(group_keys) == 1
+                                else pd.MultiIndex.from_frame(part[group_keys]),
+                                sort=False,
+                            )[0]
+                        sw = np.lib.stride_tricks.sliding_window_view(v, w)
+                        rn = row_number_in_group(codes)
+                        invalid = rn < w - 1
+                        for f in fast:
+                            full = np.full(len(v), np.nan)
+                            full[w - 1 :] = _FAST[f](sw, axis=1)
+                            full[invalid] = np.nan
+                            part[f"{col}_rolling_{f}_win_{w}"] = full
+                        funcs_left = [f for f in funcs if f not in fast]
+                    else:
+                        funcs_left = list(funcs)
+                else:
+                    funcs_left = list(funcs)
+                if not funcs_left:
+                    continue
                 roll = g[col].rolling(window=w, min_periods=mp, center=center)
-                for f in funcs:
+                for f in funcs_left:
                     if isinstance(f, tuple):
                         name, fn = f
                         vals = roll.apply(fn, raw=True)
