@@ -349,6 +349,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numpy FFT ACF/PACF; rows-only
         return acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=12)
 
+    def diag_acf_sql(sf_dir):
+        # ACF-only slice for the SQL oracle (biased estimator; FFT and the
+        # direct lag-sum agree to ~1e-12, rounded to 6)
+        ds = acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=4)
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[batch["metric"] == "acf"][["user_id", "lag", "value"]]
+            out = out.rename(columns={"value": "acf"})
+            out["lag"] = out["lag"].astype(np.int64)
+            out["acf"] = pd.array(np.round(out["acf"].to_numpy(np.float64), 6), dtype="Float64")
+            return out
+
+        return ds.map_batches(pick, batch_format="pandas")
+
     def diag_stl(sf_dir):
         # classical decomposition; rows-only
         agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="1h",
@@ -435,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_rsi": fin_rsi,
         "fin_macd": fin_macd,
         "diag_acf": diag_acf,
+        "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
@@ -658,6 +673,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
                                               TIMESTAMP '2024-03-31', INTERVAL 1 DAY)) AS d
             ) WHERE isodow(d) <= 5
+        """,
+        "diag_acf_sql": """
+            WITH m AS (
+                SELECT user_id, AVG(value) AS mu FROM events GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, e.ts, e.value - m.mu AS xc
+                FROM events e JOIN m USING (user_id)
+            ), l AS (
+                SELECT user_id, ts, xc,
+                       LAG(xc, 1) OVER w AS xc1,
+                       LAG(xc, 2) OVER w AS xc2,
+                       LAG(xc, 3) OVER w AS xc3,
+                       LAG(xc, 4) OVER w AS xc4
+                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id,
+                       SUM(xc * xc)  AS s0,
+                       SUM(xc * xc1) AS s1,
+                       SUM(xc * xc2) AS s2,
+                       SUM(xc * xc3) AS s3,
+                       SUM(xc * xc4) AS s4
+                FROM l GROUP BY user_id
+            )
+            SELECT user_id, lag, ROUND(sk / s0, 6) AS acf FROM (
+                SELECT user_id, 0 AS lag, s0 AS sk, s0 FROM s
+                UNION ALL SELECT user_id, 1, s1, s0 FROM s
+                UNION ALL SELECT user_id, 2, s2, s0 FROM s
+                UNION ALL SELECT user_id, 3, s3, s0 FROM s
+                UNION ALL SELECT user_id, 4, s4, s0 FROM s
+            )
         """,
         "holiday_signature": """
             -- deterministic US-federal calendar around the events' Jan-2024 span
