@@ -38,8 +38,11 @@ def anomalize(
     clean: str = "min_max",
     iqr_alpha: float = 0.05,
     clean_alpha: float = 0.75,
+    bind_data: bool = False,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
+    """``bind_data=True`` keeps the input's other columns alongside the 11
+    diagnostic columns (reference anomalize.py:596-599)."""
     by = list(by)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
@@ -60,8 +63,14 @@ def anomalize(
                 iqr_alpha=iqr_alpha,
                 clean_alpha=clean_alpha,
             )
-            for k, val in zip(by, keys):
-                res.insert(0, k, val)
+            if bind_data:
+                res = pd.concat(
+                    [gdf.reset_index(drop=True), res.drop(columns=[date_column])],
+                    axis=1,
+                )
+            else:
+                for k, val in zip(by, keys):
+                    res.insert(0, k, val)
             frames.append(res)
         if not frames:
             return part.head(0)

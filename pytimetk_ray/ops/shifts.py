@@ -25,15 +25,35 @@ import ray.data as rd
 from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
 
 
-def _norm_periods(spec) -> list[int]:
+def _norm_periods(spec) -> list:
     """int -> [1..n] like the reference's lag expansion; tuple -> inclusive
-    range; list -> as-is (reference: _shift_utils.resolve_shift_values,
-    src/pytimetk/feature_engineering/_shift_utils.py:169-227)."""
+    range; list -> as-is; duration strings ("2 days", "1h") pass through and
+    resolve against the series' median timestep inside the kernel
+    (reference: _shift_utils.resolve_shift_values,
+    src/pytimetk/feature_engineering/_shift_utils.py:169-227 and
+    resolve_lag_sequence, utils/datetime_helpers.py:228-332)."""
     if isinstance(spec, int):
         return list(range(1, spec + 1)) if spec > 1 else [spec]
     if isinstance(spec, tuple):
         return list(range(spec[0], spec[1] + 1))
+    if isinstance(spec, str):
+        return [spec]
     return list(spec)
+
+
+def _resolve_duration(spec: str, part: pd.DataFrame, order_by) -> int:
+    """Duration string -> row periods via the partition's median timestep."""
+    import numpy as np
+
+    from pytimetk_ray.freq import freq_to_timedelta_ns
+
+    dur_ns = freq_to_timedelta_ns(spec)
+    ts = part[order_by[0]]
+    if not str(ts.dtype).startswith("datetime64"):
+        raise ValueError(f"duration lag {spec!r} needs a datetime order column")
+    med = pd.Series(ts.astype("datetime64[ns]").astype(np.int64)).diff().median()
+    k = max(int(round(dur_ns / med)), 1) if med and med > 0 else 1
+    return k
 
 
 def _shift_op(
@@ -55,6 +75,8 @@ def _shift_op(
         for col in cols:
             s = g[col]
             for k in ks:
+                if isinstance(k, str):
+                    k = _resolve_duration(k, part, order_by)
                 if kind == "lag":
                     part[f"{col}_lag_{k}"] = s.shift(k)
                 elif kind == "lead":

@@ -116,3 +116,23 @@ def test_summarize_multi_value_columns(ds, frame):
         assert c in out.columns
     out = out.sort_values(["g", "bucket_ts"], ignore_index=True)
     np.testing.assert_allclose(out["w_sum"], 2 * out["v_sum"], rtol=1e-12)
+
+
+def test_duration_string_lags(ds, frame):
+    # 6h spacing: "1 day" resolves to 4 periods
+    out = tk.augment_lags(ds, ["g"], ["ts"], "v", lags="1 day").to_pandas()
+    assert "v_lag_4" in out.columns
+    out = out.sort_values(["g", "ts"], ignore_index=True)
+    o = frame.sort_values(["g", "ts"], ignore_index=True)
+    exp = o.groupby("g", sort=False)["v"].shift(4)
+    np.testing.assert_allclose(out["v_lag_4"], exp, equal_nan=True)
+
+
+def test_anomalize_bind_data(ds, frame):
+    out = tk.anomalize(ds, "ts", "v", by=["g"], period=4, trend=8, bind_data=True).to_pandas()
+    assert len(out) == len(frame)
+    # original columns preserved alongside diagnostics
+    for c in ("g", "ts", "v", "observed", "anomaly", "observed_clean"):
+        assert c in out.columns
+    out = out.sort_values(["g", "ts"], ignore_index=True)
+    np.testing.assert_allclose(out["v"], out["observed"], rtol=1e-12)
