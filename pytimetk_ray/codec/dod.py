@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pytimetk_ray.codec.bits import BitReader, BitWriter
+from pytimetk_ray.codec.bits import BitReader
 
 _MASK64 = (1 << 64) - 1
 

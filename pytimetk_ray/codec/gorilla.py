@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pytimetk_ray.codec.bits import BitReader, BitWriter
+from pytimetk_ray.codec.bits import BitReader
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
