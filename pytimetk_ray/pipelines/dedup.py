@@ -52,6 +52,30 @@ def exact_dedup(ds: rd.Dataset, *, text_column: str = "text", id_column: str = "
     )
 
 
+def exact_dedup_rows(ds: rd.Dataset, *, text_column: str = "text",
+                     id_column: str = "doc_id") -> rd.Dataset:
+    """Exact dedup returning the SURVIVING FULL ROWS (min id per text).
+
+    Unlike ``exact_dedup`` (ids only), this shuffles whole rows by content
+    hash and keeps one per group — no driver-side keep-set, so it holds at
+    100 TB where the keep-set itself would be billions of ids.  The exchange
+    carries each row once."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__h__"] = tx.md5_fingerprint(batch[text_column].tolist())
+        return batch
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_column, kind="mergesort").head(1).drop(columns="__h__")
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("__h__")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 def minhash_lsh_pairs(

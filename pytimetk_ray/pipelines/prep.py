@@ -25,7 +25,11 @@ import pandas as pd
 
 import ray.data as rd
 
-from pytimetk_ray.pipelines.dedup import dedup_components, exact_dedup, minhash_lsh_pairs
+from pytimetk_ray.pipelines.dedup import (
+    dedup_components,
+    exact_dedup_rows,
+    minhash_lsh_pairs,
+)
 from pytimetk_ray.pipelines.text_analysis import score_documents
 
 
@@ -54,20 +58,11 @@ def prepare_training_data(
 
     filtered = scored.map_batches(quality_filter, batch_format="pandas")
 
-    # exact dedup: keep-set of representative ids (tiny: one id per text)
-    keep_exact = set(
-        exact_dedup(filtered, text_column=text_column, id_column=id_column)
-        .to_pandas()[id_column]
-    )
+    # exact dedup: one shuffle of full rows by content hash, keep min id per
+    # text — no driver-side keep-set, so this stage holds at 100 TB
     stats["after_quality"] = filtered.count()
-    stats["exact_unique"] = len(keep_exact)
-
-    keep_arr = np.fromiter(keep_exact, dtype=np.int64, count=len(keep_exact))
-
-    def keep_exact_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_column].isin(keep_arr)]
-
-    deduped = filtered.map_batches(keep_exact_filter, batch_format="pandas")
+    deduped = exact_dedup_rows(filtered, text_column=text_column, id_column=id_column)
+    stats["exact_unique"] = deduped.count()
 
     # near-dup: LSH pairs -> components -> drop non-representatives
     pairs = minhash_lsh_pairs(

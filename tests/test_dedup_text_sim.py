@@ -176,3 +176,14 @@ def test_prepare_training_data(docs_df, tmp_path):
     with open(tmp_path / "prep" / "manifest.json") as f:
         m = json.load(f)
     assert m["output_rows"] == len(df)
+
+
+def test_exact_dedup_rows(docs_df):
+    from pytimetk_ray.pipelines.dedup import exact_dedup_rows
+
+    out = exact_dedup_rows(rd.from_pandas(docs_df)).to_pandas()
+    assert len(out) == docs_df["text"].nunique()
+    assert set(out.columns) == set(docs_df.columns)  # full rows survive
+    # min id kept per duplicate text
+    for i in docs_df.head(5)["doc_id"]:
+        assert i in set(out["doc_id"]) and (i + 1_000_000) not in set(out["doc_id"])
