@@ -401,6 +401,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         days = make_weekday_sequence("2024-01-01", "2024-03-31")
         return pd.DataFrame({"d": pd.to_datetime(days).astype("datetime64[us]")})
 
+    def sessions(sf_dir):
+        from pytimetk_ray.ops.sessions import augment_sessions
+
+        ds = augment_sessions(_events(sf_dir), ["user_id"], "ts", gap="2 hours")
+        return ds.select_columns(["event_id", "user_id", "session_id"])
+
     def corr_funnel(sf_dir):
         # binarize + distributed pearson; rows-only (driver-side result)
         ev = _events(sf_dir).select_columns(["value", "event_type"])
@@ -454,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
         "corr_funnel": corr_funnel,
+        "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
         "weekday_sequence": weekday_sequence,
@@ -715,6 +722,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(ts AS DATE) + 1 IN (SELECT d FROM h) AS BIGINT) AS before_holiday,
                    CAST(CAST(ts AS DATE) - 1 IN (SELECT d FROM h) AS BIGINT) AS after_holiday
             FROM events
+        """,
+        "sessions": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM d
         """,
         "fin_roc_drawdown": """
             SELECT event_id, user_id, value,

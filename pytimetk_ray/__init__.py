@@ -51,6 +51,7 @@ from pytimetk_ray.ops.frequency import (
     get_trend_frequency,
     time_scale_template,
 )
+from pytimetk_ray.ops.sessions import augment_sessions
 from pytimetk_ray.ops.spline import augment_spline
 from pytimetk_ray.ops.stubs import ts_features
 from pytimetk_ray.ops.finance import (

@@ -136,3 +136,15 @@ def test_anomalize_bind_data(ds, frame):
         assert c in out.columns
     out = out.sort_values(["g", "ts"], ignore_index=True)
     np.testing.assert_allclose(out["v"], out["observed"], rtol=1e-12)
+
+
+def test_augment_sessions(ds, frame):
+    # 6h spacing with gap=7h -> every row same session; gap=3h -> each its own
+    out = tk.augment_sessions(ds, ["g"], "ts", gap="7 hours").to_pandas()
+    assert (out.groupby("g")["session_id"].nunique() == 1).all()
+    out = tk.augment_sessions(ds, ["g"], "ts", gap="3 hours").to_pandas()
+    out = out.sort_values(["g", "ts"], ignore_index=True)
+    assert (out.groupby("g")["session_id"].nunique() == 50).all()
+    np.testing.assert_array_equal(
+        out[out["g"] == "a"]["session_id"].to_numpy(), np.arange(50)
+    )
