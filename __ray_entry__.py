@@ -168,8 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_expanding_sum", "value_expanding_count"])
 
     def augment_ewm(sf_dir):
-        # order-sensitive recurrence; rows-only check (no closed-form SQL)
+        # order-sensitive recurrence; SQL oracle = recursive CTE carrying the
+        # adjust=True numerator/denominator pair (num_t = x_t + (1-a)num_{t-1})
         ds = tk.augment_ewm(_events(sf_dir), ["user_id"], ["ts"], "value", window_func="mean", alpha=0.3)
+        ds = _round_cols(ds, ["value_ewm_mean_alpha_0.3"])
         return ds.select_columns(["event_id", "user_id", "value_ewm_mean_alpha_0.3"])
 
     def pad_by_time_daily(sf_dir):
@@ -214,6 +216,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="1h", agg_func="sum", by=["user_id"])
         agg = _cast_bucket_us(agg)
         return tk.anomalize(agg, "bucket_ts", "value_sum", by=["user_id"], period=24, trend=96)
+
+    def anomalize_sql(sf_dir):
+        # twitter method on a daily grid with period=7 / trend=28 so
+        # median_span=1 (block-median trend = per-group median): every stage
+        # (MA-7 decompose, numpy-lerp quantiles, verbatim _iqr limits) is
+        # SQL-reproducible.  anomaly_score/observed_clean are excluded — their
+        # values land exactly on half-µ decimal grid points (2-decimal data /
+        # powers of two), so round-6 ties are engine-dependent.
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D",
+                                   agg_func="sum", by=["user_id"])
+        agg = _cast_bucket_us(agg)
+        ds = tk.anomalize(agg, "bucket_ts", "value_sum", by=["user_id"],
+                          period=7, trend=28, method="twitter")
+        ds = _round_cols(ds, ["observed", "seasonal", "seasadj", "trend",
+                              "remainder", "recomposed_l1", "recomposed_l2"])
+        ds = _cast_int64(ds, ["anomaly_direction"])
+        return ds.select_columns(
+            ["user_id", "bucket_ts", "observed", "seasonal", "seasadj", "trend",
+             "remainder", "anomaly", "anomaly_direction", "recomposed_l1",
+             "recomposed_l2"]
+        )
 
     def fourier(sf_dir):
         ds = tk.augment_fourier(_events(sf_dir), ["user_id"], "ts", periods=24, max_order=1)
@@ -338,8 +361,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_rsi_14"])
 
     def fin_macd(sf_dir):
-        # recursive EMA chain; rows-only
+        # EMA chain; SQL oracle = one recursive CTE carrying (ema_fast,
+        # ema_slow, signal) with pandas' adjust=False seeding (sig_1 = line_1)
         ds = fin.augment_macd(_events(sf_dir), ["user_id"], ["ts"], "value")
+        ds = _round_cols(ds, ["value_macd_line_12_26_9",
+                              "value_macd_signal_line_12_26_9",
+                              "value_macd_histogram_12_26_9"])
         return ds.select_columns(
             ["event_id", "user_id", "value_macd_line_12_26_9",
              "value_macd_signal_line_12_26_9", "value_macd_histogram_12_26_9"]
@@ -369,6 +396,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    agg_func="sum", by=["user_id"])
         return stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
                                by=["user_id"], period=24)
+
+    def diag_stl_sql(sf_dir):
+        # daily grid + period=7 (odd MA -> single parity) so the classical
+        # decomposition (centered MA-7 trend, linear edge extrapolation,
+        # per-phase seasonal means) is exactly SQL-reproducible
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D",
+                                   agg_func="sum", by=["user_id"])
+        ds = stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
+                             by=["user_id"], period=7)
+        return _round_cols(ds, ["observed", "seasonal", "seasadj", "trend", "remainder"])
 
     def hilbert(sf_dir):
         # whole-series FFT; rows-only
@@ -420,6 +457,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = correlate(b, "target")
         return out
 
+    def corr_funnel_sql(sf_dir):
+        # same binning/correlations with SQL-reproducible bin labels
+        # (value__b{i} instead of pd.cut interval strings)
+        ev = _events(sf_dir).select_columns(["value", "event_type"])
+        b = binarize(ev, n_bins=4, numeric_label="index")
+
+        def add_target(batch):
+            batch["target"] = batch["event_type__purchase"]
+            return batch
+
+        b = b.map_batches(add_target, batch_format="pandas")
+        out = correlate(b, "target")
+        out["correlation"] = np.round(out["correlation"].to_numpy(np.float64), 6)
+        return out
+
     return {
         "summarize_by_time_hour": summarize_by_time_hour,
         "summarize_by_time_day_type": summarize_by_time_day_type,
@@ -437,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signature": signature,
         "apply_by_time_range": apply_by_time_range,
         "anomalize": anomalize,
+        "anomalize_sql": anomalize_sql,
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
         "tpch_q1": tpch_q1,
@@ -457,9 +510,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag_acf": diag_acf,
         "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,
+        "diag_stl_sql": diag_stl_sql,
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
         "corr_funnel": corr_funnel,
+        "corr_funnel_sql": corr_funnel_sql,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
@@ -781,6 +836,240 @@ def oracle_sql() -> dict[str, str]:
                              / (AVG(losses) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))), 6)
                    END AS value_rsi_14
             FROM gl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "anomalize_sql": """
+            WITH agg AS (
+                SELECT user_id, date_trunc('day', ts) AS bucket_ts, SUM(value) AS v
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, bucket_ts, CAST(v AS DOUBLE) AS v,
+                       ROW_NUMBER() OVER w AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       CASE WHEN ROW_NUMBER() OVER w >= 4
+                             AND ROW_NUMBER() OVER w <= COUNT(*) OVER (PARTITION BY user_id) - 3
+                            THEN AVG(CAST(v AS DOUBLE)) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       END AS ma
+                FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)
+            ), edge AS (
+                SELECT user_id,
+                       MAX(CASE WHEN rn = 4 THEN ma END) AS ma_first,
+                       MAX(CASE WHEN rn = 5 THEN ma END) - MAX(CASE WHEN rn = 4 THEN ma END) AS slope_lo,
+                       MAX(CASE WHEN rn = n - 3 THEN ma END) AS ma_last,
+                       MAX(CASE WHEN rn = n - 3 THEN ma END) - MAX(CASE WHEN rn = n - 4 THEN ma END) AS slope_hi
+                FROM t GROUP BY user_id
+            ), tr AS (
+                SELECT t.user_id, t.bucket_ts, t.v, t.rn,
+                       CASE WHEN t.rn < 4 THEN e.ma_first - e.slope_lo * (4 - t.rn)
+                            WHEN t.rn > t.n - 3 THEN e.ma_last + e.slope_hi * (t.rn - (t.n - 3))
+                            ELSE t.ma END AS matrend,
+                       (t.rn - 1) % 7 AS phase
+                FROM t JOIN edge e USING (user_id)
+            ), sm AS (
+                SELECT user_id, phase, AVG(v - matrend) AS smean FROM tr GROUP BY 1, 2
+            ), ctr AS (
+                SELECT user_id, AVG(smean) AS center FROM sm GROUP BY 1
+            ), dec AS (
+                SELECT tr.user_id, tr.bucket_ts, tr.v AS observed,
+                       sm.smean - ctr.center AS seasonal,
+                       tr.v - (sm.smean - ctr.center) AS seasadj
+                FROM tr JOIN sm ON sm.user_id = tr.user_id AND sm.phase = tr.phase
+                JOIN ctr ON ctr.user_id = tr.user_id
+            ), med AS (
+                SELECT user_id, val AS trend FROM 
+                (SELECT user_id,
+                        CASE WHEN frac < 0.5 THEN lo_v + (hi_v - lo_v) * frac
+                             ELSE hi_v - (hi_v - lo_v) * (1 - frac) END AS val
+                 FROM (
+                    SELECT user_id,
+                           MAX(CASE WHEN r2 = flo + 1 THEN x END) AS lo_v,
+                           MAX(CASE WHEN r2 = fhi + 1 THEN x END) AS hi_v,
+                           ANY_VALUE(frac) AS frac
+                    FROM (
+                        SELECT user_id, seasadj AS x,
+                               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seasadj) AS r2,
+                               CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.5) AS BIGINT) AS flo,
+                               LEAST(CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.5) AS BIGINT) + 1,
+                                     COUNT(*) OVER (PARTITION BY user_id) - 1) AS fhi,
+                               (COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.5
+                                 - FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.5) AS frac
+                        FROM dec
+                    ) GROUP BY user_id
+                 ))
+            ), rem AS (
+                SELECT d.*, m.trend, d.seasadj - m.trend AS remainder
+                FROM dec d JOIN med m USING (user_id)
+            ), q1t AS (
+                SELECT user_id, val AS q1 FROM 
+                (SELECT user_id,
+                        CASE WHEN frac < 0.5 THEN lo_v + (hi_v - lo_v) * frac
+                             ELSE hi_v - (hi_v - lo_v) * (1 - frac) END AS val
+                 FROM (
+                    SELECT user_id,
+                           MAX(CASE WHEN r2 = flo + 1 THEN x END) AS lo_v,
+                           MAX(CASE WHEN r2 = fhi + 1 THEN x END) AS hi_v,
+                           ANY_VALUE(frac) AS frac
+                    FROM (
+                        SELECT user_id, remainder AS x,
+                               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY remainder) AS r2,
+                               CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.25) AS BIGINT) AS flo,
+                               LEAST(CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.25) AS BIGINT) + 1,
+                                     COUNT(*) OVER (PARTITION BY user_id) - 1) AS fhi,
+                               (COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.25
+                                 - FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.25) AS frac
+                        FROM rem
+                    ) GROUP BY user_id
+                 ))
+            ), q3t AS (
+                SELECT user_id, val AS q3 FROM 
+                (SELECT user_id,
+                        CASE WHEN frac < 0.5 THEN lo_v + (hi_v - lo_v) * frac
+                             ELSE hi_v - (hi_v - lo_v) * (1 - frac) END AS val
+                 FROM (
+                    SELECT user_id,
+                           MAX(CASE WHEN r2 = flo + 1 THEN x END) AS lo_v,
+                           MAX(CASE WHEN r2 = fhi + 1 THEN x END) AS hi_v,
+                           ANY_VALUE(frac) AS frac
+                    FROM (
+                        SELECT user_id, remainder AS x,
+                               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY remainder) AS r2,
+                               CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.75) AS BIGINT) AS flo,
+                               LEAST(CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.75) AS BIGINT) + 1,
+                                     COUNT(*) OVER (PARTITION BY user_id) - 1) AS fhi,
+                               (COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.75
+                                 - FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * 0.75) AS frac
+                        FROM rem
+                    ) GROUP BY user_id
+                 ))
+            ), lim AS (
+                SELECT user_id,
+                       -1 * (q1 + (CAST(0.15 AS DOUBLE) / CAST(0.05 AS DOUBLE)) * (q3 - q1)) AS l1,
+                       q3 + (CAST(0.15 AS DOUBLE) / CAST(0.05 AS DOUBLE)) * (q3 - q1) AS l2
+                FROM q1t JOIN q3t USING (user_id)
+            )
+            SELECT r.user_id, r.bucket_ts,
+                   ROUND(r.observed, 6) AS observed,
+                   ROUND(r.seasonal, 6) AS seasonal,
+                   ROUND(r.seasadj, 6) AS seasadj,
+                   ROUND(r.trend, 6) AS trend,
+                   ROUND(r.remainder, 6) AS remainder,
+                   CASE WHEN r.remainder > l.l2 OR r.remainder < l.l1 THEN 'Yes' ELSE 'No' END AS anomaly,
+                   CASE WHEN r.remainder > l.l2 THEN 1 WHEN r.remainder < l.l1 THEN -1 ELSE 0 END AS anomaly_direction,
+                   ROUND(r.seasonal + r.trend + l.l1, 6) AS recomposed_l1,
+                   ROUND(r.seasonal + r.trend + l.l2, 6) AS recomposed_l2
+            FROM rem r JOIN lim l USING (user_id)
+        """,
+        "diag_stl_sql": """
+            WITH agg AS (
+                SELECT user_id, date_trunc('day', ts) AS bucket_ts, SUM(value) AS v
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, bucket_ts, CAST(v AS DOUBLE) AS v,
+                       ROW_NUMBER() OVER w AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       CASE WHEN ROW_NUMBER() OVER w >= 4
+                             AND ROW_NUMBER() OVER w <= COUNT(*) OVER (PARTITION BY user_id) - 3
+                            THEN AVG(CAST(v AS DOUBLE)) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       END AS ma
+                FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)
+            ), edge AS (
+                SELECT user_id,
+                       MAX(CASE WHEN rn = 4 THEN ma END)     AS ma_first,
+                       MAX(CASE WHEN rn = 5 THEN ma END)
+                         - MAX(CASE WHEN rn = 4 THEN ma END) AS slope_lo,
+                       MAX(CASE WHEN rn = n - 3 THEN ma END) AS ma_last,
+                       MAX(CASE WHEN rn = n - 3 THEN ma END)
+                         - MAX(CASE WHEN rn = n - 4 THEN ma END) AS slope_hi
+                FROM t GROUP BY user_id
+            ), tr AS (
+                SELECT t.user_id, t.bucket_ts, t.v, t.rn, t.n,
+                       CASE WHEN t.rn < 4 THEN e.ma_first - e.slope_lo * (4 - t.rn)
+                            WHEN t.rn > t.n - 3 THEN e.ma_last + e.slope_hi * (t.rn - (t.n - 3))
+                            ELSE t.ma END AS trend,
+                       (t.rn - 1) % 7 AS phase
+                FROM t JOIN edge e USING (user_id)
+            ), sm AS (
+                SELECT user_id, phase, AVG(v - trend) AS smean
+                FROM tr GROUP BY 1, 2
+            ), ctr AS (
+                SELECT user_id, AVG(smean) AS center FROM sm GROUP BY 1
+            )
+            SELECT tr.user_id, tr.bucket_ts,
+                   ROUND(tr.v, 6)                                      AS observed,
+                   ROUND(sm.smean - ctr.center, 6)                     AS seasonal,
+                   ROUND(tr.v - (sm.smean - ctr.center), 6)            AS seasadj,
+                   ROUND(tr.trend, 6)                                  AS trend,
+                   ROUND(tr.v - (sm.smean - ctr.center) - tr.trend, 6) AS remainder
+            FROM tr JOIN sm ON sm.user_id = tr.user_id AND sm.phase = tr.phase
+            JOIN ctr ON ctr.user_id = tr.user_id
+        """,
+        "corr_funnel_sql": """
+            WITH e AS (
+                SELECT CAST(value AS DOUBLE) AS value, event_type,
+                       CAST(event_type = 'purchase' AS DOUBLE) AS target
+                FROM events
+            ), q AS (
+                SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+                       quantile_cont(value, 0.75) AS q3
+                FROM e
+            ), b AS (
+                SELECT e.*, CASE WHEN value <= q.q1 THEN 1 WHEN value <= q.q2 THEN 2
+                                 WHEN value <= q.q3 THEN 3 ELSE 4 END AS bin
+                FROM e, q
+            ), nf AS (
+                SELECT 'value__b' || i AS feature,
+                       ROUND(corr(CASE WHEN bin = i THEN 1.0 ELSE 0.0 END, target), 6)
+                           AS correlation
+                FROM b, (SELECT UNNEST([1, 2, 3, 4]) AS i) AS bins(i) GROUP BY i
+            ), lv AS (
+                SELECT DISTINCT event_type AS lvl FROM e
+                UNION ALL SELECT '-OTHER'
+            ), cf AS (
+                SELECT 'event_type__' || lv.lvl AS feature,
+                       ROUND(corr(CASE WHEN b.event_type = lv.lvl THEN 1.0 ELSE 0.0 END,
+                                  target), 6) AS correlation
+                FROM b, lv GROUP BY lv.lvl
+            )
+            SELECT * FROM nf UNION ALL SELECT * FROM cf
+        """,
+        "augment_ewm": """
+            WITH RECURSIVE t AS (
+                SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ), r AS (
+                SELECT event_id, user_id, rn, x AS num, CAST(1 AS DOUBLE) AS den
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.event_id, t.user_id, t.rn,
+                       t.x + 0.7 * r.num, CAST(1 AS DOUBLE) + 0.7 * r.den
+                FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            )
+            SELECT event_id, user_id,
+                   ROUND(num / den, 6) AS "value_ewm_mean_alpha_0.3"
+            FROM r
+        """,
+        "fin_macd": """
+            WITH RECURSIVE t AS (
+                SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ), r AS (
+                SELECT event_id, user_id, rn, x AS ef, x AS es, CAST(0 AS DOUBLE) AS sig
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.event_id, t.user_id, t.rn,
+                       (CAST(2 AS DOUBLE)/13) * t.x + (1 - CAST(2 AS DOUBLE)/13) * r.ef,
+                       (CAST(2 AS DOUBLE)/27) * t.x + (1 - CAST(2 AS DOUBLE)/27) * r.es,
+                       0.2 * (((CAST(2 AS DOUBLE)/13) * t.x + (1 - CAST(2 AS DOUBLE)/13) * r.ef)
+                              - ((CAST(2 AS DOUBLE)/27) * t.x + (1 - CAST(2 AS DOUBLE)/27) * r.es))
+                           + 0.8 * r.sig
+                FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            )
+            SELECT event_id, user_id,
+                   ROUND(ef - es, 6)         AS value_macd_line_12_26_9,
+                   ROUND(sig, 6)             AS value_macd_signal_line_12_26_9,
+                   ROUND((ef - es) - sig, 6) AS value_macd_histogram_12_26_9
+            FROM r
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

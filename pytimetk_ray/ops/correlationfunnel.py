@@ -30,9 +30,15 @@ def binarize(
     thresh_infreq: float = 0.01,
     name_infreq: str = "-OTHER",
     one_hot: bool = True,
+    numeric_label: str = "interval",
 ) -> rd.Dataset:
     """Bin numeric columns into global-quantile bins; one-hot categoricals
-    (infrequent levels lumped into ``{col}__{name_infreq}``)."""
+    (infrequent levels lumped into ``{col}__{name_infreq}``).
+
+    ``numeric_label="interval"`` names numeric features with the pd.cut
+    interval string (reference-faithful); ``"index"`` names them
+    ``{col}__b{i}`` (1-based bin index) — same binning, SQL-reproducible
+    labels for the DuckDB oracle."""
     schema = ds.schema()
     import pyarrow as pa
 
@@ -69,10 +75,15 @@ def binarize(
             if len(e) < 2:
                 continue
             binned = pd.cut(batch[c], bins=e, include_lowest=True, duplicates="drop")
-            labels = binned.astype(str)
-            for interval in binned.cat.categories:
-                key = f"{c}__{interval}"
-                out[key] = (labels == str(interval)).astype(np.int8)
+            if numeric_label == "index":
+                codes = binned.cat.codes
+                for i in range(len(binned.cat.categories)):
+                    out[f"{c}__b{i + 1}"] = (codes == i).astype(np.int8)
+            else:
+                labels = binned.astype(str)
+                for interval in binned.cat.categories:
+                    key = f"{c}__{interval}"
+                    out[key] = (labels == str(interval)).astype(np.int8)
         for c in cat_cols:
             keep = freqs.get(c, set())
             vals = batch[c].where(batch[c].isin(keep), name_infreq)

@@ -132,13 +132,11 @@ def rollup_tiers(
     raw), which also preserves the sorted accumulation order tier-over-tier.
     """
     if salt and salt > 1 and not _from_tier:
-        if gap_fill:
-            raise NotImplementedError("gap_fill with salting not supported yet")
         return _rollup_salted(
             ds, out_dir=out_dir, key=key, date_column=date_column,
             value_column=value_column, tiers=tuple(tiers),
             num_partitions=num_partitions, input_fingerprint=input_fingerprint,
-            resume=resume, salt=salt,
+            resume=resume, salt=salt, gap_fill=gap_fill,
         )
     tier_names = [TIER_NAMES.get(f, f) for f in tiers]
     fps = {}
@@ -185,9 +183,16 @@ def rollup_tiers(
                     manifests.append(json.load(f))
                 df = pd.read_parquet(mf.partition_path(out_dir, name, pid))
                 codes2 = pd.Index(uniques).get_indexer(df[key])
+                mn_ld = df["value_min"].to_numpy(dtype=np.float64)
+                mx_ld = df["value_max"].to_numpy(dtype=np.float64)
+                if gap_fill:
+                    # gap rows were committed with NaN min/max; re-seed with
+                    # identity sentinels so upper-tier reduceat skips them
+                    mn_ld = np.where(np.isnan(mn_ld), np.inf, mn_ld)
+                    mx_ld = np.where(np.isnan(mx_ld), -np.inf, mx_ld)
                 agg = (codes2, df["bucket_ts"].to_numpy().astype(np.int64),
                        df["value_sum"].to_numpy(), df["value_count"].to_numpy(),
-                       df["value_min"].to_numpy(), df["value_max"].to_numpy())
+                       mn_ld, mx_ld)
                 continue
             if i == 0:
                 bucket = floor_i64(ts_np.astype(np.int64), unit, freq)
@@ -226,6 +231,10 @@ def rollup_tiers(
                 )
                 agg = (c, b, s, cnt, mn, mx)
             c, b, s, cnt, mn, mx = agg
+            if gap_fill and i > 0:
+                # ±inf sentinels (gap rows) back to NaN in the stored tier
+                mn = np.where(np.isinf(mn), np.nan, mn)
+                mx = np.where(np.isinf(mx), np.nan, mx)
             df = pd.DataFrame(
                 {
                     key: uniques[c] if len(c) else np.array([], dtype=object),
@@ -241,9 +250,14 @@ def rollup_tiers(
                 df["value_sum"] = df["value_sum"].fillna(0.0)
                 df["value_count"] = df["value_count"].fillna(0).astype(np.int64)
                 codes2 = pd.Index(uniques).get_indexer(df[key])
+                mn_p = df["value_min"].to_numpy(dtype=np.float64)
+                mx_p = df["value_max"].to_numpy(dtype=np.float64)
                 agg = (codes2, df["bucket_ts"].to_numpy().astype(np.int64),
                        df["value_sum"].to_numpy(), df["value_count"].to_numpy(),
-                       df["value_min"].to_numpy(), df["value_max"].to_numpy())
+                       np.where(np.isnan(mn_p), np.inf, mn_p),
+                       np.where(np.isnan(mx_p), -np.inf, mx_p))
+            # (for gap_fill at i > 0, ``agg`` still holds the sentinel
+            # min/max arrays — only the stored frame gets the NaN view)
             manifests.append(mf.commit_partition(out_dir, name, pid, df, fps[name]))
         return pd.DataFrame(manifests)
 
@@ -262,8 +276,15 @@ def rollup_tiers(
 
 
 def _rollup_salted(ds, *, out_dir, key, date_column, value_column, tiers,
-                   num_partitions, input_fingerprint, resume, salt):
-    """Two-stage salted cascade (see rollup_tiers docstring)."""
+                   num_partitions, input_fingerprint, resume, salt,
+                   gap_fill=False):
+    """Two-stage salted cascade (see rollup_tiers docstring).
+
+    With ``gap_fill`` the grid pad needs each conversation's GLOBAL
+    (min, max) tier-1 span, which a salted stage-A task does not see — so
+    stage A writes the sparse tier-1 under ``out_dir/_presalt`` and stage B
+    (regathered by conv_id alone, whole conversations per task) gap-fills and
+    re-commits the dense tier-1 plus all upper tiers under ``out_dir``."""
     import pyarrow as pa
 
     from pytimetk_ray.freq import floor_i64
@@ -283,26 +304,31 @@ def _rollup_salted(ds, *, out_dir, key, date_column, value_column, tiers,
 
     tagged = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None,
                             zero_copy_batch=True)
+    stage_a_dir = os.path.join(out_dir, "_presalt") if gap_fill else out_dir
     res_a = rollup_tiers(
-        tagged, out_dir=out_dir, key=key, date_column=date_column,
+        tagged, out_dir=stage_a_dir, key=key, date_column=date_column,
         value_column=value_column, tiers=(tier0,),
         num_partitions=num_partitions,
         input_fingerprint=f"{input_fingerprint}|salt{salt}", resume=resume,
         _part_keys=[key, "__salt__"],
     )
-    if len(tiers) == 1:
+    if len(tiers) == 1 and not gap_fill:
         return res_a
     src_b = rd.read_parquet(
-        os.path.join(out_dir, f"tier={name0}"),
+        os.path.join(stage_a_dir, f"tier={name0}"),
         columns=[key, "bucket_ts", "value_sum", "value_count", "value_min", "value_max"],
     )
+    tiers_b = tuple(tiers) if gap_fill else tuple(tiers[1:])
     res_b = rollup_tiers(
         src_b, out_dir=out_dir, key=key, date_column="bucket_ts",
-        value_column=value_column, tiers=tuple(tiers[1:]),
+        value_column=value_column, tiers=tiers_b,
         num_partitions=num_partitions,
-        input_fingerprint=f"{input_fingerprint}|salt{salt}|from_{name0}",
-        resume=resume, _from_tier=True,
+        input_fingerprint=f"{input_fingerprint}|salt{salt}|from_{name0}"
+        + ("|gapfill" if gap_fill else ""),
+        resume=resume, _from_tier=True, gap_fill=gap_fill,
     )
+    if gap_fill:
+        return res_b
     return {name0: res_a[name0], **res_b}
 
 

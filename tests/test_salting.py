@@ -63,3 +63,43 @@ def test_salted_resume(tmp_path):
         after.sort_values(["conv_id", "bucket_ts"], ignore_index=True),
     )
     assert set(r1) == set(r2) == {"1m", "1h", "1d"}
+
+
+def test_salted_gap_fill_bit_equal(tmp_path):
+    """gap_fill + salt: stage B regathers whole conversations, pads, and the
+    dense cascade is bit-equal to the unsalted gap-filled cascade."""
+    corpus = add_value_column(make_transcripts(30, seed=5, hot_conv_factor=50))
+    base, salted = str(tmp_path / "gbase"), str(tmp_path / "gsalted")
+    rollup_tiers(rd.from_pandas(corpus), out_dir=base, num_partitions=8,
+                 input_fingerprint="gb", resume=False, gap_fill=True)
+    rollup_tiers(rd.from_pandas(corpus), out_dir=salted, num_partitions=8,
+                 input_fingerprint="gs", resume=False, gap_fill=True, salt=4)
+
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier_pandas(base, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        b = read_tier_pandas(salted, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        assert len(a) == len(b), tier
+        np.testing.assert_array_equal(a["conv_id"], b["conv_id"])
+        np.testing.assert_array_equal(
+            a["bucket_ts"].to_numpy(), b["bucket_ts"].to_numpy())
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy(np.float64).view(np.uint64),
+                b[col].to_numpy(np.float64).view(np.uint64),
+                err_msg=f"{tier}:{col}")
+        np.testing.assert_array_equal(a["value_count"], b["value_count"])
+
+    # tier-1 grid is dense per conversation
+    t = read_tier_pandas(salted, "1m").sort_values(["conv_id", "bucket_ts"])
+    d = t.groupby("conv_id")["bucket_ts"].diff().dropna()
+    assert (d == pd.Timedelta("1min")).all()
+    # upper tiers keep the dense grid too (gap buckets carried upward)
+    th = read_tier_pandas(salted, "1h").sort_values(["conv_id", "bucket_ts"])
+    dh = th.groupby("conv_id")["bucket_ts"].diff().dropna()
+    assert (dh == pd.Timedelta("1h")).all()
+    # gap rows: zero sum/count, NaN min/max
+    gaps = t[t["value_count"] == 0]
+    assert (gaps["value_sum"] == 0).all()
+    assert gaps["value_min"].isna().all() and gaps["value_max"].isna().all()
