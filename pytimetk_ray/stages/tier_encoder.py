@@ -46,44 +46,53 @@ class TierEncoder:
         self.n_points_encoded = 0  # per-actor statistic
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows: dict[str, list] = {
-            "conv_id": [], "tier": [], "start_ts": [], "n_points": [],
-            "ts_scale": [], "ts_blob": [],
-        }
-        for col in self.value_columns:
-            rows[f"{col}_blob"] = []
+        from pytimetk_ray.codec.vectorized import dod_encode_many, gorilla_encode_many
+
+        n = len(batch)
+        if n == 0:
+            cols = {"conv_id": [], "tier": [], "start_ts": [], "n_points": [],
+                    "ts_scale": [], "ts_blob": []}
+            for col in self.value_columns:
+                cols[f"{col}_blob"] = []
+            return pd.DataFrame(cols)
         batch = batch.sort_values([self.key_column, self.date_column], kind="mergesort")
         ts_all = batch[self.date_column].to_numpy()
         unit = str(ts_all.dtype)
         unit = unit[unit.index("[") + 1 : unit.index("]")]
-        vals_all = {c: batch[c].to_numpy().astype(np.float64) for c in self.value_columns}
         ts_i64 = ts_all.astype(np.int64)
         codes, uniques = pd.factorize(batch[self.key_column], sort=False)
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(batch) else np.empty(0, int)
-        bounds = np.append(starts, len(batch))
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.append(starts, n)
+
+        # chunk bounds: conversation starts split every max_points rows
+        mp = self.max_points
+        chunk_starts: list[int] = []
         for gi in range(len(starts)):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            conv = uniques[codes[starts[gi]]]
-            for s in range(lo, hi, self.max_points):
-                e = min(s + self.max_points, hi)
-                ts = ts_i64[s:e]
-                scale = int(np.gcd.reduce(np.abs(ts))) if (ts != 0).any() else 1
-                scale = max(scale, 1)
-                rows["conv_id"].append(conv)
-                rows["tier"].append(self.tier)
-                rows["start_ts"].append(ts_all[s])
-                rows["n_points"].append(e - s)
-                rows["ts_scale"].append(scale)
-                rows["ts_blob"].append(dod_encode(ts // scale))
-                for col in self.value_columns:
-                    rows[f"{col}_blob"].append(gorilla_encode(vals_all[col][s:e]))
-                self.n_points_encoded += e - s
-        out = pd.DataFrame(rows)
-        if len(out):
-            out["start_ts"] = out["start_ts"].astype(f"datetime64[{unit}]")
-            out["n_points"] = out["n_points"].astype(np.int64)
-            out["ts_scale"] = out["ts_scale"].astype(np.int64)
-        return out
+            chunk_starts.extend(range(int(bounds[gi]), int(bounds[gi + 1]), mp))
+        cs = np.append(np.asarray(chunk_starts, dtype=np.int64), n)
+        npts = np.diff(cs)
+
+        # per-chunk GCD scale (grid-aligned buckets -> tier step divides ts)
+        scales = np.gcd.reduceat(np.abs(ts_i64), cs[:-1])
+        np.maximum(scales, 1, out=scales)
+        scaled = ts_i64 // np.repeat(scales, npts)
+
+        out = {
+            "conv_id": uniques[codes[cs[:-1]]],
+            "tier": self.tier,
+            "start_ts": ts_all[cs[:-1]],
+            "n_points": npts.astype(np.int64),
+            "ts_scale": scales.astype(np.int64),
+            "ts_blob": dod_encode_many(scaled, cs),
+        }
+        for col in self.value_columns:
+            out[f"{col}_blob"] = gorilla_encode_many(
+                batch[col].to_numpy().astype(np.float64), cs
+            )
+        self.n_points_encoded += n
+        df = pd.DataFrame(out)
+        df["start_ts"] = df["start_ts"].astype(f"datetime64[{unit}]")
+        return df
 
 
 def decode_chunks(chunks: pd.DataFrame, unit: str = "us") -> pd.DataFrame:

@@ -69,3 +69,35 @@ def test_gorilla_property(vals):
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60))
 def test_dod_property(vals):
     roundtrip_t(vals)
+
+
+# --- vectorized multi-segment encoders: byte-identical to the scalar path ---
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+             min_size=1, max_size=40),
+    min_size=1, max_size=8))
+def test_gorilla_many_byte_equal(segs):
+    from pytimetk_ray.codec.vectorized import gorilla_encode_many
+
+    vals = np.concatenate([np.asarray(s, dtype=np.float64) for s in segs])
+    bounds = np.cumsum([0] + [len(s) for s in segs])
+    blobs = gorilla_encode_many(vals, bounds)
+    for blob, s in zip(blobs, segs):
+        assert blob == gorilla_encode(np.asarray(s, dtype=np.float64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+             min_size=1, max_size=40),
+    min_size=1, max_size=8))
+def test_dod_many_byte_equal(segs):
+    from pytimetk_ray.codec.vectorized import dod_encode_many
+
+    vals = np.concatenate([np.asarray(s, dtype=np.int64) for s in segs])
+    bounds = np.cumsum([0] + [len(s) for s in segs])
+    blobs = dod_encode_many(vals, bounds)
+    for blob, s in zip(blobs, segs):
+        assert blob == dod_encode(np.asarray(s, dtype=np.int64))
