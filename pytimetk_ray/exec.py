@@ -43,10 +43,14 @@ def _hash_partition_batch(batch: pd.DataFrame, keys: Sequence[str], num_partitio
     return batch
 
 
-def _add_part_arrow(batch: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Table:
+def _add_part_arrow(batch: pa.Table, keys: Sequence[str], num_partitions: int,
+                    skip: np.ndarray | None = None) -> pa.Table:
     """Arrow-native partition column: hashes ONLY the key columns (one
     column-level pandas view each), leaving wide payload columns (text!)
-    untouched — no full-frame arrow<->pandas conversion on the hot path."""
+    untouched — no full-frame arrow<->pandas conversion on the hot path.
+
+    ``skip``: sorted partition ids to DROP at the source (resume pruning —
+    rows of fully-committed partitions never enter the shuffle)."""
     if len(batch) == 0:
         return batch.append_column(PART_COL, pa.array([], type=pa.int64()))
     h = np.zeros(len(batch), dtype=np.uint64)
@@ -56,7 +60,10 @@ def _add_part_arrow(batch: pa.Table, keys: Sequence[str], num_partitions: int) -
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     if PART_COL in batch.column_names:
         batch = batch.drop_columns([PART_COL])
-    return batch.append_column(PART_COL, pa.array(part))
+    batch = batch.append_column(PART_COL, pa.array(part))
+    if skip is not None and len(skip):
+        batch = batch.filter(pa.array(~np.isin(part, skip)))
+    return batch
 
 
 def partitioned_group_map(
@@ -68,8 +75,13 @@ def partitioned_group_map(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     batch_format: str = "pandas",
     with_partition_id: bool = False,
+    skip_partitions: Sequence[int] | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` to each hash partition (many whole groups per call).
+
+    ``skip_partitions``: partition ids pruned AT THE READ (their rows are
+    filtered out before the shuffle; ``fn`` never sees them) — the resume
+    fast path for partially-committed outputs.
 
     ``fn`` receives a DataFrame holding every row of the partition, sorted by
     ``sort_by`` (default: ``keys``) with a stable mergesort so per-group row
@@ -91,13 +103,15 @@ def partitioned_group_map(
         out = fn(part, pid) if with_partition_id else fn(part)
         return out
 
+    skip = (np.unique(np.asarray(list(skip_partitions), dtype=np.int64))
+            if skip_partitions else None)
     if keys:
         tagged = ds.map_batches(
             _add_part_arrow,
             batch_format="pyarrow",
             batch_size=None,  # whole blocks: no row-slicing overhead
             zero_copy_batch=True,
-            fn_kwargs=dict(keys=keys, num_partitions=num_partitions),
+            fn_kwargs=dict(keys=keys, num_partitions=num_partitions, skip=skip),
         )
     else:
         tagged = ds.map_batches(

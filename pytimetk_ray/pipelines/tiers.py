@@ -261,6 +261,9 @@ def rollup_tiers(
             manifests.append(mf.commit_partition(out_dir, name, pid, df, fps[name]))
         return pd.DataFrame(manifests)
 
+    # resume fast path: partitions committed in EVERY tier are pruned at the
+    # read — their rows never enter the shuffle; manifests come from disk
+    fully = set.intersection(*[committed[n] for n in tier_names]) if resume else set()
     all_manifests = partitioned_group_map(
         ds,
         list(_part_keys) if _part_keys else [key],
@@ -268,7 +271,19 @@ def rollup_tiers(
         sort_by=[key, date_column],
         num_partitions=num_partitions,
         with_partition_id=True,
+        skip_partitions=fully,
     ).to_pandas()  # tiny: one row per (tier, partition)
+    if fully:
+        import json
+
+        rows = []
+        for name in tier_names:
+            for pid in sorted(fully):
+                with open(mf.manifest_path(out_dir, name, pid)) as f:
+                    rows.append(json.load(f))
+        all_manifests = pd.concat(
+            [all_manifests, pd.DataFrame(rows)], ignore_index=True
+        )
     return {
         name: all_manifests[all_manifests["tier"] == name].reset_index(drop=True)
         for name in tier_names

@@ -177,3 +177,33 @@ def test_text_byte_identity_roundtrip(corpus, tmp_path):
     b = out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
     assert a["text"].tolist() == b["text"].tolist()  # byte-identical strings
     assert [x.encode() for x in a["text"]] == [x.encode() for x in b["text"]]
+
+
+def test_partial_resume_prunes_committed_partitions(corpus, tmp_path):
+    """Resume with SOME partitions committed: fully-committed partitions are
+    pruned at the read (their rows never shuffle, files untouched); only the
+    victim partition is recomputed."""
+    import time as _time
+
+    out = str(tmp_path / "tiers_prune")
+    rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=8,
+                 input_fingerprint="pr")
+    victim = sorted(glob.glob(os.path.join(out, "tier=1h", "*.parquet")))[0]
+    pid = int(os.path.basename(victim).split("=")[1].split(".")[0])
+    os.remove(victim)
+    os.remove(mf.manifest_path(out, "1h", pid))
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(out, "tier=*", "*.parquet"))}
+    _time.sleep(0.05)
+    res = rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=8,
+                       input_fingerprint="pr")
+    # every tier's manifest set is complete again
+    assert all(len(m) == 8 for m in res.values())
+    assert all((m["status"] == "committed").all() for m in res.values())
+    # untouched partitions were NOT rewritten (pruned before the shuffle)
+    for f, t0 in mtimes.items():
+        base = os.path.basename(f)
+        this_pid = int(base.split("=")[1].split(".")[0])
+        if this_pid == pid:
+            continue  # same conv partition in other tiers is re-read/rewritten
+        assert os.path.getmtime(f) == t0, f"{f} rewritten despite commit"
