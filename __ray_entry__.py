@@ -180,6 +180,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         padded = tk.pad_by_time(agg, "bucket_ts", freq="D", by=["user_id"], fillna=0)
         return _round_cols(padded, ["value_sum"])
 
+    def pad_by_time_monthly(sf_dir):
+        # calendar-frequency pad (vectorized month-index grid) over the
+        # multi-year orders table: per-customer monthly sums, gaps zero-filled
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        agg = tk.summarize_by_time(orders, "o_orderdate", "o_totalprice",
+                                   freq="MS", agg_func="sum", by=["o_custkey"])
+        agg = _cast_bucket_us(agg)
+        padded = tk.pad_by_time(agg, "bucket_ts", freq="M", by=["o_custkey"], fillna=0)
+        return _round_cols(padded, ["o_totalprice_sum"])
+
     def ts_summary(sf_dir):
         ds = tk.ts_summary(_events(sf_dir), "ts", by=["user_id"])
         # diff stats are bit-deterministic (exact-µs quantile interpolation +
@@ -304,6 +317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = score_documents(_docs(sf_dir), concurrency=2, with_fingerprint=False)
         return ds.select_columns(["doc_id", "lang_pred"])
 
+    def dedup_jaccard(sf_dir):
+        # exact all-pairs word-3-shingle Jaccard via distributed inverted
+        # index; unrounded p/q doubles are engine-bit-identical
+        from pytimetk_ray.pipelines.dedup import jaccard_allpairs
+
+        return jaccard_allpairs(_docs(sf_dir), threshold=0.2)
+
     def dedup_minhash(sf_dir):
         return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -371,6 +391,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "user_id", "value_macd_line_12_26_9",
              "value_macd_signal_line_12_26_9", "value_macd_histogram_12_26_9"]
         )
+
+    def _events_hlc(sf_dir):
+        # synthetic high/low around the value column (deterministic, same
+        # arithmetic in the SQL oracle) for the H/L/C indicators
+        def add_hl(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["high"] = batch["value"] + 1.5
+            batch["low"] = batch["value"] - 2.5
+            return batch
+
+        return _events(sf_dir).map_batches(add_hl, batch_format="pandas")
+
+    def fin_cmo(sf_dir):
+        ds = fin.augment_cmo(_events(sf_dir), ["user_id"], ["ts"], "value", periods=10)
+        ds = _round_cols(ds, ["value_cmo_10"])
+        return ds.select_columns(["event_id", "user_id", "value_cmo_10"])
+
+    def fin_atr(sf_dir):
+        ds = fin.augment_atr(_events_hlc(sf_dir), ["user_id"], ["ts"],
+                             "high", "low", "value", periods=7)
+        ds = _round_cols(ds, ["value_tr_7", "value_atr_7"])
+        return ds.select_columns(["event_id", "user_id", "value_tr_7", "value_atr_7"])
+
+    def fin_stochastic(sf_dir):
+        # %K is exact p/q of grid-exact min/max/close -> UNROUNDED
+        # (bit-identical across engines); %D (rolling mean of thirds) rounds
+        ds = fin.augment_stochastic_oscillator(
+            _events_hlc(sf_dir), ["user_id"], ["ts"], "high", "low", "value",
+            k_periods=14, d_periods=3)
+        ds = _nan_to_null(ds, ["value_stoch_k_14"])
+        ds = _round_cols(ds, ["value_stoch_d_14_3"])
+        return ds.select_columns(["event_id", "user_id", "value_stoch_k_14",
+                                  "value_stoch_d_14_3"])
+
+    def fin_ppo(sf_dir):
+        ds = fin.augment_ppo(_events(sf_dir), ["user_id"], ["ts"], "value")
+        ds = _round_cols(ds, ["value_ppo_line_12_26"])
+        return ds.select_columns(["event_id", "user_id", "value_ppo_line_12_26"])
+
+    def fin_ewma_vol(sf_dir):
+        # pandas ewm skips inf observations with ignore_na=False decayed
+        # weights; the SQL oracle's recursive CTE carries (s2, old_wt, count)
+        ds = fin.augment_ewma_volatility(_events(sf_dir), ["user_id"], ["ts"],
+                                         "value", windows=5, decay_factor=0.94)
+        ds = _round_cols(ds, ["value_ewma_vol_5_0.94"])
+        ds = _nan_to_null(ds, ["value_ewma_vol_5_0.94"])
+        return ds.select_columns(["event_id", "user_id", "value_ewma_vol_5_0.94"])
+
+    def fin_fip(sf_dir):
+        # exact k/w count ratios -> UNROUNDED; sign(prod-1) == sign(sum ln)
+        ds = fin.augment_fip_momentum(_events(sf_dir), ["user_id"], ["ts"],
+                                      "value", window=5)
+        ds = _nan_to_null(ds, ["value_fip_momentum_5"])
+        return ds.select_columns(["event_id", "user_id", "value_fip_momentum_5"])
+
+    def fin_qsmomentum(sf_dir):
+        # rows-only: pandas rolling-std vs SQL stddev differ at ~1e-9
+        # relative, amplified through the ill-conditioned (legs/vol) ratio
+        ds = fin.augment_qsmomentum(_events(sf_dir), ["user_id"], ["ts"], "value",
+                                    roc_fast_period=3, roc_slow_period=10,
+                                    returns_period=5)
+        ds = _nan_to_null(ds, ["value_qsmom_3_10_5"])
+        return ds.select_columns(["event_id", "user_id", "value_qsmom_3_10_5"])
+
+    def fin_risk(sf_dir):
+        # rows-only: same rolling-std algorithm mismatch as qsmomentum
+        ds = fin.augment_rolling_risk_metrics(_events(sf_dir), ["user_id"], ["ts"],
+                                              "value", window=5)
+        cols = ["value_sharpe_ratio_5", "value_sortino_ratio_5",
+                "value_volatility_annualized_5", "value_skewness_5",
+                "value_kurtosis_5"]
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
+    def fin_hurst(sf_dir):
+        # rows-only: per-window rescaled-range loop
+        ds = fin.augment_hurst_exponent(_events(sf_dir), ["user_id"], ["ts"],
+                                        "value", window=20)
+        ds = _nan_to_null(ds, ["value_hurst_20"])
+        return ds.select_columns(["event_id", "user_id", "value_hurst_20"])
+
+    def fin_adx(sf_dir):
+        # rows-only: three chained Wilder EMAs with min_periods
+        ds = fin.augment_adx(_events_hlc(sf_dir), ["user_id"], ["ts"],
+                             "high", "low", "value", periods=14)
+        cols = ["value_plus_di_14", "value_minus_di_14", "value_adx_14"]
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
 
     def diag_acf(sf_dir):
         # numpy FFT ACF/PACF; rows-only
@@ -444,6 +551,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = augment_sessions(_events(sf_dir), ["user_id"], "ts", gap="2 hours")
         return ds.select_columns(["event_id", "user_id", "session_id"])
 
+    def floor_ceil_dates(sf_dir):
+        from pytimetk_ray.ops.frame_utils import ceil_date, floor_date
+
+        ds = floor_date(_events(sf_dir), "ts", "1h", out_column="floor_1h")
+        ds = ceil_date(ds, "ts", "1h", out_column="ceil_1h")
+        ds = floor_date(ds, "ts", "M", out_column="floor_month")
+        ds = ceil_date(ds, "ts", "M", out_column="ceil_month")
+        return ds.select_columns(["event_id", "floor_1h", "ceil_1h",
+                                  "floor_month", "ceil_month"])
+
+    def filter_by_time_month(sf_dir):
+        # end-date granularity expansion: "2024-01" -> end of January
+        return tk.filter_by_time(_events(sf_dir), "ts", "2024-01-15", "2024-01")
+
+    def weekend_sequence(sf_dir):
+        from pytimetk_ray.ops.sequences import make_weekend_sequence
+
+        days = make_weekend_sequence("2024-01-01", "2024-03-31")
+        return pd.DataFrame({"d": pd.to_datetime(days).astype("datetime64[us]")})
+
+    def future_frame_bind(sf_dir):
+        ds = tk.future_frame(
+            _events(sf_dir), "ts", by=["user_id"], length_out=3, freq="1h",
+            bind_data=True,
+        )
+        return ds.select_columns(["user_id", "ts"])
+
+    def drop_zero_variance_q(sf_dir):
+        from pytimetk_ray.ops.frame_utils import drop_zero_variance
+
+        def add_const(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["const_col"] = 1
+            return batch
+
+        ds = _events(sf_dir).map_batches(add_const, batch_format="pandas")
+        return drop_zero_variance(ds)
+
+    def doc_stop_ratio(sf_dir):
+        # occurrence counts / word count: ints -> bit-exact division
+        ds = score_documents(_docs(sf_dir), concurrency=2, with_lang=False,
+                             with_fingerprint=False)
+        return ds.select_columns(["doc_id", "q_n_tokens", "q_stop_ratio"])
+
+    def rolling_apply(sf_dir):
+        # DataFrame-window UDF (range): max-min of exact doubles is
+        # engine-bit-identical -> unrounded oracle
+        from pytimetk_ray.ops.apply_window import augment_rolling_apply
+
+        # python-UDF slow path (reference's lambda path is ~3500x slower than
+        # builtins too) -> subset of groups keeps the harness fast
+        ev = _events(sf_dir).filter(lambda r: r["user_id"] < 30)
+        ds = augment_rolling_apply(
+            ev, ["user_id"], ["ts"], window=5,
+            window_func=[("range", lambda df: df["value"].max() - df["value"].min())],
+        )
+        ds = _nan_to_null(ds, ["rolling_range_win_5"])
+        return ds.select_columns(["event_id", "user_id", "rolling_range_win_5"])
+
+    def expanding_apply(sf_dir):
+        from pytimetk_ray.ops.apply_window import augment_expanding_apply
+
+        ev = _events(sf_dir).filter(lambda r: r["user_id"] < 30)
+        ds = augment_expanding_apply(
+            ev, ["user_id"], ["ts"],
+            window_func=[("vrange", lambda df: df["value"].max() - df["value"].min())],
+        )
+        ds = _nan_to_null(ds, ["expanding_vrange"])
+        return ds.select_columns(["event_id", "user_id", "expanding_vrange"])
+
+    def spline(sf_dir):
+        # rows-only: numpy Cox-de Boor B-spline basis on the value column
+        from pytimetk_ray.ops.spline import augment_spline
+
+        ds = augment_spline(_events(sf_dir), "value", df=5, degree=3)
+        cols = [c for c in ds.schema().names if c.startswith("value_spline_")]
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id"] + cols)
+
+    def wavelet(sf_dir):
+        # rows-only: whole-series CWT per group
+        from pytimetk_ray.ops.signal import augment_wavelet
+
+        ds = augment_wavelet(_events(sf_dir), ["user_id"], ["ts"], "value",
+                             scales=(2, 4))
+        cols = [c for c in ds.schema().names if "wavelet" in c]
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
+    def seasonal_diag(sf_dir):
+        from pytimetk_ray.ops.diagnostics import seasonal_diagnostics
+
+        ds = seasonal_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"])
+        ds = _round_cols(ds, ["value"])
+        return ds.select_columns(["user_id", "ts", "value", "feature", "feature_value"])
+
     def corr_funnel(sf_dir):
         # binarize + distributed pearson; rows-only (driver-side result)
         ev = _events(sf_dir).select_columns(["value", "event_type"])
@@ -484,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_expanding": augment_expanding,
         "augment_ewm": augment_ewm,
         "pad_by_time_daily": pad_by_time_daily,
+        "pad_by_time_monthly": pad_by_time_monthly,
         "ts_summary": ts_summary,
         "future_frame": future_frame,
         "signature": signature,
@@ -498,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
+        "dedup_jaccard": dedup_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
@@ -507,6 +711,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_bbands": fin_bbands,
         "fin_rsi": fin_rsi,
         "fin_macd": fin_macd,
+        "fin_cmo": fin_cmo,
+        "fin_atr": fin_atr,
+        "fin_stochastic": fin_stochastic,
+        "fin_ppo": fin_ppo,
+        "fin_ewma_vol": fin_ewma_vol,
+        "fin_fip": fin_fip,
+        "fin_qsmomentum": fin_qsmomentum,
+        "fin_risk": fin_risk,
+        "fin_hurst": fin_hurst,
+        "fin_adx": fin_adx,
         "diag_acf": diag_acf,
         "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,
@@ -515,6 +729,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holiday_signature": holiday_signature,
         "corr_funnel": corr_funnel,
         "corr_funnel_sql": corr_funnel_sql,
+        "floor_ceil_dates": floor_ceil_dates,
+        "filter_by_time_month": filter_by_time_month,
+        "weekend_sequence": weekend_sequence,
+        "future_frame_bind": future_frame_bind,
+        "drop_zero_variance": drop_zero_variance_q,
+        "doc_stop_ratio": doc_stop_ratio,
+        "rolling_apply": rolling_apply,
+        "expanding_apply": expanding_apply,
+        "spline": spline,
+        "wavelet": wavelet,
+        "seasonal_diag": seasonal_diag,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
@@ -600,6 +825,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.user_id, g.bucket_ts, COALESCE(a.value_sum, 0) AS value_sum
             FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)
+        """,
+        "pad_by_time_monthly": """
+            WITH agg AS (
+                SELECT o_custkey, date_trunc('month', o_orderdate) AS bucket_ts,
+                       ROUND(SUM(o_totalprice), 6) AS o_totalprice_sum
+                FROM orders GROUP BY 1, 2
+            ), bounds AS (
+                SELECT o_custkey, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+                FROM agg GROUP BY 1
+            ), grid AS (
+                SELECT o_custkey,
+                       UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket_ts
+                FROM bounds
+            )
+            SELECT g.o_custkey, g.bucket_ts,
+                   COALESCE(a.o_totalprice_sum, 0) AS o_totalprice_sum
+            FROM grid g LEFT JOIN agg a USING (o_custkey, bucket_ts)
         """,
         "ts_summary": """
             WITH d AS (
@@ -703,6 +945,59 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
                          / GREATEST(1, length(text)), 6) AS q_upper_ratio
             FROM documents
+        """,
+        "dedup_jaccard": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+                UNION
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM w WHERE len(ws) < 3 AND len(ws) > 0
+            ), shd AS (
+                SELECT DISTINCT doc_id, shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM shd a JOIN shd b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+        """,
+        "doc_langid": r"""
+            WITH w AS (
+                SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[\w'']+')) AS word
+                FROM documents
+            ), sc AS (
+                SELECT d.doc_id,
+                    COUNT(DISTINCT CASE WHEN word IN ('the','and','of','to','a','in','is','it','you','that') THEN word END) AS en,
+                    COUNT(DISTINCT CASE WHEN word IN ('der','die','das','und','ist','nicht','ich','ein','zu','mit') THEN word END) AS de,
+                    COUNT(DISTINCT CASE WHEN word IN ('le','la','et','les','des','est','un','une','que','pour') THEN word END) AS fr,
+                    COUNT(DISTINCT CASE WHEN word IN ('el','la','los','las','es','un','una','que','por','para') THEN word END) AS es,
+                    COUNT(DISTINCT CASE WHEN word IN ('il','la','che','di','è','un','una','per','non','sono') THEN word END) AS it
+                FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+                GROUP BY d.doc_id
+            )
+            -- dict-order tie-break (en<de<fr<es<it): a later language wins
+            -- only with a strictly greater score, which the CASE ladder
+            -- encodes by falling through earlier >= checks
+            SELECT doc_id, CASE
+                WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 AND it = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+                WHEN de >= fr AND de >= es AND de >= it THEN 'de'
+                WHEN fr >= es AND fr >= it THEN 'fr'
+                WHEN es >= it THEN 'es'
+                ELSE 'it' END AS lang_pred
+            FROM sc
         """,
         "ann_topk": """
             WITH q AS (
@@ -836,6 +1131,111 @@ def oracle_sql() -> dict[str, str]:
                              / (AVG(losses) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))), 6)
                    END AS value_rsi_14
             FROM gl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "floor_ceil_dates": """
+            SELECT event_id,
+                   date_trunc('hour', ts) AS floor_1h,
+                   CASE WHEN ts = date_trunc('hour', ts) THEN ts
+                        ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS ceil_1h,
+                   date_trunc('month', ts) AS floor_month,
+                   CASE WHEN ts = date_trunc('month', ts) THEN ts
+                        ELSE date_trunc('month', ts) + INTERVAL 1 MONTH END AS ceil_month
+            FROM events
+        """,
+        "filter_by_time_month": """
+            SELECT * FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-31 23:59:59.999999'
+        """,
+        "weekend_sequence": """
+            SELECT d FROM (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2024-03-31', INTERVAL 1 DAY)) AS d
+            ) WHERE isodow(d) >= 6
+        """,
+        "future_frame_bind": """
+            SELECT user_id, ts FROM events
+            UNION ALL
+            SELECT user_id,
+                   UNNEST(generate_series(mx + INTERVAL 1 HOUR, mx + INTERVAL 3 HOUR,
+                                          INTERVAL 1 HOUR)) AS ts
+            FROM (SELECT user_id, MAX(ts) AS mx FROM events GROUP BY 1)
+        """,
+        "drop_zero_variance": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "doc_stop_ratio": r"""
+            WITH w AS (
+                SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[\w'']+')) AS word
+                FROM documents
+            ), c AS (
+                SELECT d.doc_id, count(w.word) AS n,
+                       count(CASE WHEN w.word IN ('the','and','of','to','a','in',
+                                                  'is','it','you','that')
+                                  THEN 1 END) AS ns
+                FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, n AS q_n_tokens,
+                   CAST(ns AS DOUBLE) / GREATEST(1, n) AS q_stop_ratio
+            FROM c
+        """,
+        "rolling_apply": """
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 5 THEN
+                       MAX(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       - MIN(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   END AS rolling_range_win_5
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "expanding_apply": """
+            SELECT event_id, user_id,
+                   MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - MIN(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS expanding_vrange
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "seasonal_diag": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS du
+                FROM events
+            ), m AS (
+                SELECT user_id, quantile_cont(du, 0.5) / 1e6 AS med FROM d GROUP BY 1
+            ), b AS (
+                SELECT user_id,
+                       CASE WHEN med IS NULL THEN 1
+                            WHEN med < 60 THEN 1
+                            WHEN med < 3600 THEN 2
+                            WHEN med < 86400 THEN 3
+                            WHEN med < 604800 THEN 4
+                            WHEN med < 2630016 THEN 5
+                            ELSE 6 END AS band
+                FROM m
+            ), e AS (
+                SELECT ev.user_id, ev.ts, ROUND(ev.value, 6) AS value, b.band
+                FROM events ev JOIN b USING (user_id)
+            )
+            SELECT user_id, ts, value, 'second' AS feature,
+                   CAST(CAST(floor(second(ts)) AS BIGINT) AS VARCHAR) AS feature_value
+            FROM e WHERE band = 1
+            UNION ALL SELECT user_id, ts, value, 'minute', CAST(minute(ts) AS VARCHAR)
+            FROM e WHERE band IN (1, 2)
+            UNION ALL SELECT user_id, ts, value, 'hour', CAST(hour(ts) AS VARCHAR)
+            FROM e WHERE band IN (1, 2, 3)
+            UNION ALL SELECT user_id, ts, value, 'wday_lbl', dayname(ts)
+            FROM e WHERE band IN (2, 3, 4)
+            UNION ALL SELECT user_id, ts, value, 'week', CAST(weekofyear(ts) AS VARCHAR)
+            FROM e WHERE band IN (3, 4, 5)
+            UNION ALL SELECT user_id, ts, value, 'month_lbl', monthname(ts)
+            FROM e WHERE band IN (4, 5, 6)
+            UNION ALL SELECT user_id, ts, value, 'quarter', CAST(quarter(ts) AS VARCHAR)
+            FROM e WHERE band IN (5, 6)
+            UNION ALL SELECT user_id, ts, value, 'year', CAST(year(ts) AS VARCHAR)
+            FROM e WHERE band = 6
         """,
         "anomalize_sql": """
             WITH agg AS (
@@ -1070,6 +1470,127 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sig, 6)             AS value_macd_signal_line_12_26_9,
                    ROUND((ef - es) - sig, 6) AS value_macd_histogram_12_26_9
             FROM r
+        """,
+        "fin_cmo": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+                FROM events
+            ), gl AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN delta > 0 THEN delta ELSE 0 END AS gains,
+                       CASE WHEN delta < 0 THEN -delta ELSE 0 END AS losses
+                FROM d
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10 THEN
+                       ROUND(100 * (SUM(gains) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                                    - SUM(losses) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+                                 / (SUM(gains) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                                    + SUM(losses) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), 6)
+                   END AS value_cmo_10
+            FROM gl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "fin_atr": """
+            WITH hlc AS (
+                SELECT event_id, user_id, ts, value AS c,
+                       value + 1.5 AS h, value - 2.5 AS l
+                FROM events
+            ), tr AS (
+                SELECT event_id, user_id, ts,
+                       GREATEST(h - l, ABS(h - LAG(c) OVER w), ABS(l - LAG(c) OVER w)) AS tr
+                FROM hlc WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT event_id, user_id, ROUND(tr, 6) AS value_tr_7,
+                   CASE WHEN ROW_NUMBER() OVER w >= 7
+                        THEN ROUND(AVG(tr) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_atr_7
+            FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "fin_stochastic": """
+            WITH hlc AS (
+                SELECT event_id, user_id, ts, value AS c,
+                       value + 1.5 AS h, value - 2.5 AS l
+                FROM events
+            ), k AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ROW_NUMBER() OVER w >= 14 THEN
+                           100 * (c - MIN(l) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+                               / (MAX(h) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                                  - MIN(l) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+                       END AS sk
+                FROM hlc WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT event_id, user_id, sk AS value_stoch_k_14,
+                   CASE WHEN COUNT(sk) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+                        THEN ROUND(AVG(sk) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                   END AS value_stoch_d_14_3
+            FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "fin_ppo": """
+            WITH RECURSIVE t AS (
+                SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ), r AS (
+                SELECT event_id, user_id, rn, x AS ef, x AS es FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.event_id, t.user_id, t.rn,
+                       (CAST(2 AS DOUBLE)/13) * t.x + (1 - CAST(2 AS DOUBLE)/13) * r.ef,
+                       (CAST(2 AS DOUBLE)/27) * t.x + (1 - CAST(2 AS DOUBLE)/27) * r.es
+                FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            )
+            SELECT event_id, user_id, ROUND(100 * (ef - es) / es, 6) AS value_ppo_line_12_26
+            FROM r
+        """,
+        "fin_ewma_vol": """
+            WITH RECURSIVE t AS (
+                SELECT event_id, user_id,
+                       ROW_NUMBER() OVER w AS rn,
+                       CASE WHEN LAG(value) OVER w IS NULL THEN NULL
+                            WHEN value > 0 AND LAG(value) OVER w > 0
+                                 THEN POW(LN(value / LAG(value) OVER w), 2)
+                            WHEN value = 0 AND LAG(value) OVER w = 0 THEN NULL
+                            ELSE 'infinity'::DOUBLE END AS r2
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), r AS (
+                SELECT event_id, user_id, rn,
+                       CAST(NULL AS DOUBLE) AS s2, CAST(1 AS DOUBLE) AS ow, 0 AS cnt
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.event_id, t.user_id, t.rn,
+                       CASE WHEN t.r2 IS NULL OR isinf(t.r2) THEN r.s2
+                            WHEN r.s2 IS NULL THEN t.r2
+                            ELSE (r.ow * CAST(0.94 AS DOUBLE) * r.s2
+                                  + (1 - CAST(0.94 AS DOUBLE)) * t.r2)
+                                 / (r.ow * CAST(0.94 AS DOUBLE) + (1 - CAST(0.94 AS DOUBLE))) END,
+                       CASE WHEN t.r2 IS NULL OR isinf(t.r2)
+                            THEN r.ow * CAST(0.94 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END,
+                       r.cnt + CASE WHEN t.r2 IS NULL THEN 0 ELSE 1 END
+                FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN cnt >= 5 AND s2 IS NOT NULL
+                        THEN ROUND(SQRT(s2), 6) END AS "value_ewma_vol_5_0.94"
+            FROM r
+        """,
+        "fin_fip": """
+            WITH r AS (
+                SELECT event_id, user_id, ts,
+                       value / LAG(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN COUNT(ret) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 5 THEN
+                       (CASE WHEN SUM(LN(1 + ret)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) > 0 THEN 1
+                             WHEN SUM(LN(1 + ret)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) < 0 THEN -1
+                             ELSE 0 END)
+                       * (CAST(SUM(CASE WHEN ret < 0 THEN 1 ELSE 0 END)
+                               OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5
+                          - CAST(SUM(CASE WHEN ret > 0 THEN 1 ELSE 0 END)
+                                 OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5)
+                   END AS value_fip_momentum_5
+            FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -85,11 +85,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
     res, out_dir = timed("tier_cascade", lambda: cascade(big_corpus, "bench"))
     points = int(sum(m["row_count"].sum() for m in res.values()))
-    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
     extra["rolledup_points"] = points
     extra["input_turns"] = int(n_turns)
     extra["points_per_sec"] = round(points / queries["tier_cascade"], 1)
     extra["turns_per_sec"] = round(n_turns / queries["tier_cascade"], 1)
+
+    # --- tier encode (Gorilla/DoD actor pool over the 1m tier) -------------
+    from pytimetk_ray.stages.tier_encoder import TierEncoder
+
+    pts_1m = int(res["1m"]["row_count"].sum())
+    timed("tier_encode_1m", lambda: rd.read_parquet(
+        os.path.join(out_dir, "tier=1m")
+    ).map_batches(
+        TierEncoder, fn_constructor_kwargs=dict(tier="1m"),
+        batch_format="pandas", batch_size=None, concurrency=num_cpus,
+    ).count())
+    extra["encode_points_per_sec"] = round(pts_1m / queries["tier_encode_1m"], 1)
+    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
 
     # --- operator suite over transcripts -----------------------------------
     tds = rd.read_parquet(corpus, override_num_blocks=max(2 * num_cpus, 16))

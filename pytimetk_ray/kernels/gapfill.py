@@ -9,10 +9,12 @@ fills all other columns' new rows; with ``fillna=None`` new rows stay null
 EXCEPT columns constant within the group (``nunique(dropna=False)==1``),
 which are forward-filled (pad.py:390-399,427-438).
 
-This kernel is vectorized ACROSS groups: one ``np.repeat``/``cumsum`` pass
-builds every group's grid at once, one scatter places original rows — no
-per-group ``date_range`` loop (fixed-width frequencies; calendar units fall
-back to a per-group path).
+The kernel is vectorized ACROSS groups for BOTH frequency classes: one
+``np.repeat``/``cumsum`` pass builds every group's grid at once, one scatter
+places original rows.  Fixed-width units work on raw int64 timestamps;
+calendar units (M/Q/Y) work in month-index space (``datetime64[M]``) with
+pandas-date_range anchor semantics (first unit-anchor >= lo, stepping n
+units), then convert back — no per-group ``date_range`` loop anywhere.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ import pandas as pd
 
 from pytimetk_ray.exec import group_starts
 from pytimetk_ray.freq import Freq, parse_freq
+
+_CAL_UNIT_MONTHS = {"M": 1, "Q": 3, "Y": 12}
 
 
 def _np_unit(dtype) -> str:
@@ -50,17 +54,12 @@ def pad_groups(
     a long range at a fine frequency): a clear error beats an OOM kill."""
     f = parse_freq(freq)
     group_keys = list(group_keys)
-    if f.is_calendar:
-        return _pad_calendar(part, group_keys, date_column, f, start_date, end_date, fillna)
-
     n = len(part)
     if n == 0:
         return part
 
     ts_np = part[date_column].to_numpy()
     unit = _np_unit(ts_np.dtype)
-    ts = ts_np.astype(np.int64)
-    step = f.step(unit)
 
     # group codes over the sorted frame
     if group_keys:
@@ -74,9 +73,45 @@ def pad_groups(
     ends = np.append(starts[1:], n) - 1
     g = len(starts)
 
-    lo = np.full(g, _to_i64(start_date, unit), dtype=np.int64) if start_date is not None else ts[starts]
-    hi = np.full(g, _to_i64(end_date, unit), dtype=np.int64) if end_date is not None else ts[ends]
-    counts = np.maximum((hi - lo) // step + 1, 0)
+    if not f.is_calendar:
+        # index space = raw int64 timestamps
+        idx = ts_np.astype(np.int64)
+        step = f.step(unit)
+        lo = np.full(g, _to_i64(start_date, unit), dtype=np.int64) if start_date is not None else idx[starts]
+        hi = np.full(g, _to_i64(end_date, unit), dtype=np.int64) if end_date is not None else idx[ends]
+        a0 = lo  # grid anchors exactly at lo
+        on_extra = np.ones(n, dtype=bool)
+
+        def to_dt(grid_idx: np.ndarray) -> np.ndarray:
+            return grid_idx.astype(f"datetime64[{unit}]")
+    else:
+        # index space = months since 1970 (datetime64[M]); date_range anchor
+        # semantics: first UNIT anchor (month/quarter/year start) >= lo,
+        # stepping n units from there
+        k = _CAL_UNIT_MONTHS[f.unit]
+        step = f.n * k
+        ts_m64 = ts_np.astype("datetime64[M]")
+        idx = ts_m64.astype(np.int64)
+        on_extra = ts_m64.astype(ts_np.dtype) == ts_np  # exact period starts only
+        if start_date is not None:
+            lo_t = np.full(g, np.datetime64(pd.Timestamp(start_date), unit))
+        else:
+            lo_t = ts_np[starts]
+        if end_date is not None:
+            hi_t = np.full(g, np.datetime64(pd.Timestamp(end_date), unit))
+        else:
+            hi_t = ts_np[ends]
+        lo_m = lo_t.astype("datetime64[M]")
+        a = lo_m.astype(np.int64) + (lo_t > lo_m.astype(lo_t.dtype)).astype(np.int64)
+        # ceil to the unit anchor (quarter/year starts are month % k == 0)
+        a0 = -(-a // k) * k
+        lo = a0
+        hi = hi_t.astype("datetime64[M]").astype(np.int64)
+
+        def to_dt(grid_idx: np.ndarray) -> np.ndarray:
+            return grid_idx.astype("datetime64[M]").astype(f"datetime64[{unit}]")
+
+    counts = np.maximum((hi - a0) // step + 1, 0)
     total = int(counts.sum())
     if total > max_total_rows:
         worst = int(counts.max())
@@ -90,15 +125,15 @@ def pad_groups(
     grid_gidx = np.repeat(np.arange(g, dtype=np.int64), counts)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     within = np.arange(total, dtype=np.int64) - offsets[grid_gidx]
-    grid_ts = lo[grid_gidx] + within * step
+    grid_idx = a0[grid_gidx] + within * step
 
     # scatter original rows onto the grid (off-grid / out-of-bounds drop)
-    rel = ts - lo[codes]
-    on = (rel >= 0) & (rel % step == 0) & (ts <= hi[codes]) & (counts[codes] > 0)
+    rel = idx - a0[codes]
+    on = (rel >= 0) & (rel % step == 0) & (idx <= hi[codes]) & (counts[codes] > 0) & on_extra
     pos = offsets[codes] + np.where(on, rel // step, 0)
 
     out = {}
-    out[date_column] = grid_ts.astype(f"datetime64[{unit}]")
+    out[date_column] = to_dt(grid_idx)
     row_of_group_first = starts  # for key columns
     for col in part.columns:
         if col == date_column:
@@ -142,35 +177,3 @@ def pad_groups(
 
 def _to_i64(value, unit: str) -> int:
     return int(np.datetime64(pd.Timestamp(value), unit).astype(np.int64))
-
-
-def _pad_calendar(part, group_keys, date_column, f: Freq, start_date, end_date, fillna):
-    """Calendar-frequency fallback: per-group pandas date_range reindex."""
-    freq_str = f"{f.n}{'MS' if f.unit == 'M' else 'QS' if f.unit == 'Q' else 'YS'}"
-    frames = []
-    grouped = part.groupby(group_keys, sort=False) if group_keys else [((), part)]
-    for keys, gdf in grouped:
-        if not isinstance(keys, tuple):
-            keys = (keys,)
-        lo = pd.Timestamp(start_date) if start_date is not None else gdf[date_column].min()
-        hi = pd.Timestamp(end_date) if end_date is not None else gdf[date_column].max()
-        grid = pd.date_range(lo, hi, freq=freq_str)
-        padded = (
-            gdf.set_index(date_column)
-            .reindex(grid)
-            .reset_index()
-            .rename(columns={"index": date_column})
-        )
-        for k, v in zip(group_keys, keys):
-            padded[k] = v
-        other = [c for c in part.columns if c != date_column and c not in group_keys]
-        if fillna is not None:
-            padded[other] = padded[other].fillna(fillna)
-        else:
-            const = [c for c in other if gdf[c].nunique(dropna=False) == 1]
-            if const:
-                padded[const] = padded[const].ffill()
-        frames.append(padded[list(part.columns)])
-    if not frames:
-        return part.head(0)
-    return pd.concat(frames, ignore_index=True)

@@ -83,3 +83,51 @@ def test_pad_groups_matches_pandas_reindex(n_groups, seed, freq_min, fillna, wit
     a = mine["lbl"].where(mine["lbl"].notna(), "__NA__")
     b = exp["lbl"].where(exp["lbl"].notna(), "__NA__")
     np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_groups=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+    cal=st.sampled_from(["MS", "QS", "YS", "3MS", "2QS"]),
+    fillna=st.sampled_from([None, 0]),
+    midperiod=st.booleans(),
+)
+def test_pad_groups_calendar_matches_pandas_reindex(n_groups, seed, cal, fillna, midperiod):
+    """Calendar-unit grids (month/quarter/year starts, incl. multiples) in
+    the vectorized month-index path vs per-group pandas date_range reindex."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        n = int(rng.integers(1, 10))
+        months = np.unique(rng.integers(0, 40, size=n))
+        for m in months:
+            ts = pd.Timestamp("2022-01-01") + pd.DateOffset(months=int(m))
+            if midperiod and rng.random() < 0.3:
+                ts = ts + pd.Timedelta(days=int(rng.integers(1, 20)))  # off-grid
+            rows.append({"g": f"g{g}", "ts": ts, "v": float(rng.normal()),
+                         "lbl": f"L{g}" if rng.random() < 0.7 else f"X{rng.integers(2)}"})
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df = df.drop_duplicates(["g", "ts"]).sort_values(["g", "ts"], kind="mergesort",
+                                                     ignore_index=True)
+
+    # freq string mapping: our parse_freq takes '3M' style for 3-month starts
+    ours = cal.replace("MS", "M").replace("QS", "Q").replace("YS", "Y")
+    mine = pad_groups(df, ["g"], "ts", ours, fillna=fillna)
+    exp = oracle_pad(df, ["g"], "ts", cal, fillna)
+
+    mine = mine.sort_values(["g", "ts"], ignore_index=True)
+    exp = exp.sort_values(["g", "ts"], ignore_index=True)
+    assert len(mine) == len(exp), (len(mine), len(exp))
+    pd.testing.assert_series_equal(
+        mine["ts"].astype("datetime64[us]"), exp["ts"].astype("datetime64[us]"),
+        check_names=False,
+    )
+    np.testing.assert_array_equal(mine["g"].to_numpy(), exp["g"].to_numpy())
+    np.testing.assert_allclose(
+        mine["v"].to_numpy(np.float64), exp["v"].to_numpy(np.float64), equal_nan=True
+    )
+    np.testing.assert_array_equal(
+        mine["lbl"].fillna("~N~").to_numpy(), exp["lbl"].fillna("~N~").to_numpy()
+    )
