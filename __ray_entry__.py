@@ -439,7 +439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_ewma_vol_5_0.94"])
 
     def fin_fip(sf_dir):
-        # exact k/w count ratios -> UNROUNDED; sign(prod-1) == sign(sum ln)
+        # rows-only: sign(prod(1+ret)-1) is pure float noise when a window
+        # telescopes back to its start price (product exactly 1), so no SQL
+        # can reproduce pandas' noise sign; pandas rolling also converts inf
+        # observations to NaN internally
         ds = fin.augment_fip_momentum(_events(sf_dir), ["user_id"], ["ts"],
                                       "value", window=5)
         ds = _nan_to_null(ds, ["value_fip_momentum_5"])
@@ -639,6 +642,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _nan_to_null(ds, cols)
         return ds.select_columns(["event_id", "user_id"] + cols)
 
+    def cv_folds(sf_dir):
+        # first 3 rolling-origin folds as lazy filter_by_time views
+        from itertools import islice
+
+        from pytimetk_ray.ops.cv import TimeSeriesCV
+
+        cv = TimeSeriesCV(frequency="D", train_size=10, forecast_horizon=3)
+        frames = []
+        for i, (train, test) in enumerate(islice(cv.split(_events(sf_dir), "ts"), 3)):
+            tr = train.select_columns(["event_id"]).to_pandas()
+            te = test.select_columns(["event_id"]).to_pandas()
+            tr["fold"], tr["split"] = i, "train"
+            te["fold"], te["split"] = i, "test"
+            frames.append(tr)
+            frames.append(te)
+        return pd.concat(frames, ignore_index=True)
+
+    def frequency_summary(sf_dir):
+        from pytimetk_ray.ops.frequency import frequency_summary_by
+
+        ds = frequency_summary_by(_events(sf_dir), "ts", by=["user_id"])
+        return _round_cols(ds, ["freq_median_scale"])
+
     def seasonal_diag(sf_dir):
         from pytimetk_ray.ops.diagnostics import seasonal_diagnostics
 
@@ -740,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spline": spline,
         "wavelet": wavelet,
         "seasonal_diag": seasonal_diag,
+        "frequency_summary": frequency_summary,
+        "cv_folds": cv_folds,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
@@ -1197,6 +1225,56 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id < 30
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
+        "cv_folds": """
+            WITH t0 AS (SELECT MIN(ts) AS lo FROM events),
+            folds AS (
+                SELECT i AS fold,
+                       lo + i * (INTERVAL 3 DAY) AS tr_s,
+                       lo + i * (INTERVAL 3 DAY) + INTERVAL 10 DAY AS tr_e
+                FROM t0, (SELECT UNNEST([0, 1, 2]) AS i) AS f(i)
+            )
+            SELECT e.event_id, f.fold, 'train' AS split
+            FROM events e JOIN folds f
+              ON e.ts >= f.tr_s AND e.ts < f.tr_e
+            UNION ALL
+            SELECT e.event_id, f.fold, 'test'
+            FROM events e JOIN folds f
+              ON e.ts >= f.tr_e AND e.ts < f.tr_e + INTERVAL 3 DAY
+        """,
+        "frequency_summary": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS du
+                FROM events
+            ), m AS (
+                SELECT user_id, quantile_cont(du, 0.5) / 1e6 AS med FROM d GROUP BY 1
+            ), u AS (
+                SELECT user_id, med,
+                       CASE WHEN med < 60 THEN 'S' WHEN med < 3600 THEN 'T'
+                            WHEN med < 86400 THEN 'H' WHEN med < 604800 THEN 'D'
+                            WHEN med < 2630016 THEN 'W' WHEN med < 7890048 THEN 'M'
+                            WHEN med < 31557600 THEN 'Q' ELSE 'Y' END AS unit,
+                       CASE WHEN med < 60 THEN med WHEN med < 3600 THEN med / 60
+                            WHEN med < 86400 THEN med / 3600
+                            WHEN med < 604800 THEN med / 86400
+                            WHEN med < 2630016 THEN med / 604800
+                            WHEN med < 7890048 THEN med / (30.44 * 86400)
+                            WHEN med < 31557600 THEN med / (3 * 30.44 * 86400)
+                            ELSE med / (365.25 * 86400) END AS scale
+                FROM m
+            )
+            SELECT user_id,
+                   ROUND(scale, 6) AS freq_median_scale,
+                   unit AS freq_median_unit,
+                   CASE unit WHEN 'S' THEN '1H' WHEN 'T' THEN '1D' WHEN 'H' THEN '1D'
+                             WHEN 'D' THEN '1W' WHEN 'W' THEN '1Q' WHEN 'M' THEN '1Y'
+                             WHEN 'Q' THEN '1Y' ELSE '5Y' END AS seasonal_period,
+                   CASE unit WHEN 'S' THEN '12H' WHEN 'T' THEN '14D' WHEN 'H' THEN '1M'
+                             WHEN 'D' THEN '1Q' WHEN 'W' THEN '1Y' WHEN 'M' THEN '5Y'
+                             WHEN 'Q' THEN '10Y' ELSE '30Y' END AS trend_period
+            FROM u
+        """,
         "seasonal_diag": """
             WITH d AS (
                 SELECT user_id, ts,
@@ -1573,24 +1651,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cnt >= 5 AND s2 IS NOT NULL
                         THEN ROUND(SQRT(s2), 6) END AS "value_ewma_vol_5_0.94"
             FROM r
-        """,
-        "fin_fip": """
-            WITH r AS (
-                SELECT event_id, user_id, ts,
-                       value / LAG(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
-                FROM events
-            )
-            SELECT event_id, user_id,
-                   CASE WHEN COUNT(ret) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 5 THEN
-                       (CASE WHEN SUM(LN(1 + ret)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) > 0 THEN 1
-                             WHEN SUM(LN(1 + ret)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) < 0 THEN -1
-                             ELSE 0 END)
-                       * (CAST(SUM(CASE WHEN ret < 0 THEN 1 ELSE 0 END)
-                               OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5
-                          - CAST(SUM(CASE WHEN ret > 0 THEN 1 ELSE 0 END)
-                                 OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5)
-                   END AS value_fip_momentum_5
-            FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

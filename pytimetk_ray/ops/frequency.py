@@ -108,3 +108,38 @@ def time_scale_template(wide_format: bool = False) -> pd.DataFrame:
         }
     )
     return t.set_index("median_unit").T if wide_format else t
+
+
+def frequency_summary_by(ds, date_column: str, *, by, num_partitions=None):
+    """Distributed per-group frequency summary: one row per group with
+    ``freq_median_scale`` / ``freq_median_unit`` and the template's
+    seasonal/trend period strings (reference frequency.py:112-183 semantics
+    per group; the pandas ``inferred_freq`` probe is omitted — irregular
+    per-conversation streams never infer)."""
+    from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
+
+    by = list(by)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for keys, g in part.groupby(by, sort=False):
+            if not isinstance(keys, tuple):
+                keys = (keys,)
+            med = g[date_column].diff().median()
+            med_s = med.total_seconds() if pd.notna(med) else np.nan
+            unit, scale = "D", np.nan
+            for u, base, upper in _UNITS:
+                if med_s < upper:
+                    unit, scale = u, med_s / base
+                    break
+            seasonal, trend = _TEMPLATE[unit]
+            rows.append(dict(zip(by, keys)) | {
+                "freq_median_scale": scale, "freq_median_unit": unit,
+                "seasonal_period": seasonal, "trend_period": trend,
+            })
+        return pd.DataFrame(rows)
+
+    return partitioned_group_map(
+        ds, by, kernel, sort_by=by + [date_column],
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS,
+    )

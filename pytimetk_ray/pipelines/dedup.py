@@ -337,24 +337,28 @@ def jaccard_allpairs(
     )
 
     # partition by shingle hash; a pair's shingles span partitions, so
-    # per-partition pair counts are PARTIAL and re-aggregated below
+    # per-partition pair counts are PARTIAL and re-reduced by a second
+    # hash partition on id_a (all partials of a pair co-locate; pandas sums
+    # them at C speed — exact int sums, order-independent), then Jaccard
     partial = partitioned_group_map(
         exploded, ["h"], _partial_pair_counts(id_column),
         sort_by=["h"], num_partitions=num_partitions,
     )
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        inter = float(g["c"].sum())
-        a = int(g["id_a"].iloc[0])
-        b = int(g["id_b"].iloc[0])
-        j = inter / (size_of[a] + size_of[b] - inter)
-        if j < threshold:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64),
-                                 "jaccard": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({"id_a": [a], "id_b": [b], "jaccard": [j]})
+    def reduce_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        cnt = part.groupby(["id_a", "id_b"], as_index=False)["c"].sum()
+        inter = cnt["c"].to_numpy(np.float64)
+        sa = cnt["id_a"].map(size_of).to_numpy(np.float64)
+        sb = cnt["id_b"].map(size_of).to_numpy(np.float64)
+        j = inter / (sa + sb - inter)
+        out = pd.DataFrame({"id_a": cnt["id_a"].astype(np.int64),
+                            "id_b": cnt["id_b"].astype(np.int64), "jaccard": j})
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
-    return partial.groupby(["id_a", "id_b"]).map_groups(finalize, batch_format="pandas")
+    return partitioned_group_map(
+        partial, ["id_a"], reduce_pairs, sort_by=["id_a", "id_b"],
+        num_partitions=num_partitions,
+    )
 
 
 def _partial_pair_counts(id_column):
