@@ -94,11 +94,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from pytimetk_ray.stages.tier_encoder import TierEncoder
 
     pts_1m = int(res["1m"]["row_count"].sum())
+    # concurrency < num_cpus: an actor pool claiming EVERY cpu starves the
+    # upstream read tasks and deadlocks the pipeline
     timed("tier_encode_1m", lambda: rd.read_parquet(
         os.path.join(out_dir, "tier=1m")
     ).map_batches(
         TierEncoder, fn_constructor_kwargs=dict(tier="1m"),
-        batch_format="pandas", batch_size=None, concurrency=num_cpus,
+        batch_format="pandas", batch_size=None,
+        concurrency=max(num_cpus // 2, 1),
     ).count())
     extra["encode_points_per_sec"] = round(pts_1m / queries["tier_encode_1m"], 1)
     shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
