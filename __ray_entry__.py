@@ -342,6 +342,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf_dir), q, emb["vec_id"].to_numpy(), k=5, round_digits=6
         )
 
+    def _queries4(sf_dir):
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).sort_values("vec_id").head(4)
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+        return qm, emb["vec_id"].to_numpy()
+
+    def ann_ivf_topk(sf_dir):
+        # IVF coarse-quantizer scale path; approximate -> rows-only
+        from pytimetk_ray.pipelines.similarity import ann_ivf
+
+        qm, qids = _queries4(sf_dir)
+        return ann_ivf(_emb(sf_dir), qm, qids, k=5, nlist=8, nprobe=3,
+                       round_digits=6)
+
+    def ann_ivf_full(sf_dir):
+        # nprobe == nlist probes every cluster -> exhaustive == brute force,
+        # so the exact-SQL oracle applies to the IVF plumbing too
+        from pytimetk_ray.pipelines.similarity import ann_ivf
+
+        qm, qids = _queries4(sf_dir)
+        return ann_ivf(_emb(sf_dir), qm, qids, k=5, nlist=8, nprobe=8,
+                       round_digits=6)
+
     def embedding_neardup(sf_dir):
         # nbits=0 -> single bucket -> exact all-pairs (SQL-checkable)
         return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=0, round_digits=6)
@@ -349,6 +371,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_neardup_lsh(sf_dir):
         # bucketed scale path; rows-only
         return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=4, round_digits=6)
+
+    def multimodal_decode(sf_dir):
+        # rows-only: binary media columns through the actor-pool decode stage
+        # (deterministic fake decoder — real codec libs absent; the Ray-side
+        # schema/batch/actor plumbing is the real thing being exercised)
+        from pytimetk_ray.stages.multimodal import decode_images
+
+        def to_media(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": batch["doc_id"],
+                "payload": [t.encode("utf-8") for t in batch["text"]],
+            })
+
+        media = _docs(sf_dir).map_batches(to_media, batch_format="pandas")
+        decoded = decode_images(media, concurrency=2, batch_size=64)
+
+        def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": batch["media_id"],
+                "height": batch["height"],
+                "width": batch["width"],
+                "pixel_sum": [float(np.round(p.sum(), 3)) for p in batch["pixels"]],
+            })
+
+        return decoded.map_batches(summarize, batch_format="pandas")
 
     # --- finance / diagnostics / signal ------------------------------------
 
@@ -659,6 +706,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             frames.append(te)
         return pd.concat(frames, ignore_index=True)
 
+    def ts_features_q(sf_dir):
+        from pytimetk_ray.ops.stubs import ts_features
+
+        ds = ts_features(
+            _events(sf_dir), "ts", "value", by=["user_id"],
+            features=["length", "acf1", "crossing_points",
+                      "stability", "lumpiness"],
+        )
+        # mean/var are EXCLUDED: power-of-two group sizes (or n-1) put them
+        # on dyadic decimal ties at every rounding width
+        ds = _round_cols(ds, ["acf1"])
+        # var-of-var cancellation differs ~1e-10 across engines on O(1e3)
+        # values -> 3 decimals keeps the compare straddle-free
+        ds = _round_cols(ds, ["stability", "lumpiness"], digits=3)
+        return _cast_int64(ds, ["crossing_points", "length"])
+
+    def ts_features_full(sf_dir):
+        # rows-only: full builtin set (entropy/flat_spots/strengths use FFT,
+        # quantile binning and the classical decomposition)
+        from pytimetk_ray.ops.stubs import ts_features
+
+        ds = ts_features(_events(sf_dir), "ts", "value", by=["user_id"])
+        return _nan_to_null(ds, ["entropy", "trend_strength", "seasonal_strength",
+                                 "acf10", "diff1_acf1", "diff2_acf1"])
+
     def frequency_summary(sf_dir):
         from pytimetk_ray.ops.frequency import frequency_summary_by
 
@@ -731,8 +803,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_full": ann_ivf_full,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "multimodal_decode": multimodal_decode,
         "fin_roc_drawdown": fin_roc_drawdown,
         "fin_bbands": fin_bbands,
         "fin_rsi": fin_rsi,
@@ -768,6 +843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_diag": seasonal_diag,
         "frequency_summary": frequency_summary,
         "cv_folds": cv_folds,
+        "ts_features": ts_features_q,
+        "ts_features_full": ts_features_full,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
@@ -1044,6 +1121,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
         """,
+        "ann_ivf_full": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 4
+            ), s AS (
+                SELECT q.query_id, v.vec_id,
+                       ROUND(list_cosine_similarity(q.qe, CAST(v.embedding AS DOUBLE[])), 6)
+                           AS cosine
+                FROM q, embeddings v
+                WHERE v.vec_id <> q.query_id
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
         "augment_pct_change": """
             SELECT event_id, user_id, value,
                    value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) - 1
@@ -1224,6 +1318,61 @@ def oracle_sql() -> dict[str, str]:
                        AS expanding_vrange
             FROM events WHERE user_id < 30
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "ts_features": """
+            WITH o AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), srt AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) AS r2,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            ), med AS (
+                -- np.median: mean of the two middle order statistics
+                SELECT user_id,
+                       (MAX(CASE WHEN r2 = (n + 1) // 2 THEN value END)
+                        + MAX(CASE WHEN r2 = n // 2 + 1 THEN value END)) / 2 AS med
+                FROM srt GROUP BY user_id
+            ), cp AS (
+                SELECT user_id,
+                       SUM(CASE WHEN below <> prev THEN 1 ELSE 0 END) AS crossing_points
+                FROM (SELECT o.user_id,
+                             CASE WHEN o.value <= m.med THEN 1 ELSE 0 END AS below,
+                             LAG(CASE WHEN o.value <= m.med THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY o.user_id ORDER BY o.rn) AS prev
+                      FROM o JOIN med m USING (user_id))
+                WHERE prev IS NOT NULL GROUP BY user_id
+            ), c AS (
+                SELECT user_id, AVG(value) AS mu FROM events GROUP BY 1
+            ), a1pre AS (
+                SELECT e.user_id, e.value - c.mu AS xc,
+                       LAG(e.value - c.mu) OVER (PARTITION BY e.user_id ORDER BY e.ts) AS xp
+                FROM events e JOIN c USING (user_id)
+            ), a1 AS (
+                SELECT user_id, SUM(xc * xp) / SUM(xc * xc) AS acf1
+                FROM a1pre GROUP BY 1
+            ), tiles AS (
+                SELECT user_id, (rn - 1) // 10 AS tile,
+                       AVG(value) AS tmean, var_samp(value) AS tvar
+                FROM o GROUP BY 1, 2
+            ), sl AS (
+                SELECT user_id, var_samp(tmean) AS stability,
+                       var_samp(tvar) AS lumpiness
+                FROM tiles GROUP BY user_id
+            ), base AS (
+                SELECT user_id, COUNT(*) AS length FROM events GROUP BY 1
+            )
+            SELECT b.user_id, b.length,
+                   ROUND(a1.acf1, 6) AS acf1,
+                   cp.crossing_points,
+                   ROUND(sl.stability, 3) AS stability,
+                   ROUND(sl.lumpiness, 3) AS lumpiness
+            FROM base b
+            JOIN a1 USING (user_id)
+            JOIN cp USING (user_id)
+            JOIN sl USING (user_id)
         """,
         "cv_folds": """
             WITH t0 AS (SELECT MIN(ts) AS lo FROM events),

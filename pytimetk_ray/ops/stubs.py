@@ -36,45 +36,107 @@ def ts_features(
     to it; otherwise computes a built-in basic set (mean/std/acf1/trend
     strength) so the distributed plumbing stays testable."""
     by = list(by)
+    builtin = {
+        "length", "mean", "var", "std", "acf1", "acf10", "diff1_acf1",
+        "diff2_acf1", "crossing_points", "flat_spots", "lumpiness",
+        "stability", "entropy", "trend_strength", "seasonal_strength",
+    }
     try:
         import tsfeatures  # noqa: F401
 
         have_tsfeatures = True
     except ImportError:
         have_tsfeatures = False
-    if features and have_tsfeatures is False and set(features) - {
-        "mean", "std", "acf1", "trend_strength"
-    }:
+    if features and have_tsfeatures is False and set(features) - builtin:
         raise NotImplementedError(
             "full ts_features requires the external 'tsfeatures' package "
-            "(not available in this environment); built-in set: "
-            "mean/std/acf1/trend_strength"
+            f"(not available in this environment); built-in set: {sorted(builtin)}"
         )
 
+    def _acf(v: np.ndarray, k: int) -> float:
+        if len(v) <= k:
+            return np.nan
+        vc = v - v.mean()
+        denom = (vc * vc).sum()
+        return (vc[k:] * vc[:-k]).sum() / denom if denom else np.nan
+
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        from pytimetk_ray.kernels.decomp import auto_periods, classical_decompose
+
         rows = []
         groups = part.groupby(by, sort=False) if by else [((), part)]
         for keys, g in groups:
             if not isinstance(keys, tuple):
                 keys = (keys,)
             v = g[value_column].to_numpy(dtype=np.float64)
+            n = len(v)
             row = dict(zip(by, keys))
-            row["mean"] = v.mean() if len(v) else np.nan
-            row["std"] = v.std(ddof=1) if len(v) > 1 else np.nan
-            if len(v) > 2:
-                vc = v - v.mean()
-                denom = (vc * vc).sum()
-                row["acf1"] = (vc[1:] * vc[:-1]).sum() / denom if denom else np.nan
-                t = np.arange(len(v))
-                ss_tot = denom
-                b = np.polyfit(t, v, 1)
-                resid = v - np.polyval(b, t)
-                row["trend_strength"] = 1 - (resid**2).sum() / ss_tot if ss_tot else np.nan
+            row["length"] = n
+            row["mean"] = v.mean() if n else np.nan
+            row["var"] = v.var(ddof=1) if n > 1 else np.nan
+            row["std"] = v.std(ddof=1) if n > 1 else np.nan
+            row["acf1"] = _acf(v, 1)
+            row["acf10"] = float(np.nansum([_acf(v, k) ** 2 for k in range(1, 11)])) if n > 2 else np.nan
+            row["diff1_acf1"] = _acf(np.diff(v), 1) if n > 2 else np.nan
+            row["diff2_acf1"] = _acf(np.diff(v, 2), 1) if n > 3 else np.nan
+            # crossing_points: flips of (v <= median) (Hyndman tsfeatures def)
+            if n > 1:
+                ab = v <= np.median(v)
+                row["crossing_points"] = int((ab[1:] != ab[:-1]).sum())
             else:
-                row["acf1"] = np.nan
+                row["crossing_points"] = 0
+            # flat_spots: longest run within one of 10 quantile bins
+            if n > 1:
+                try:
+                    binned = pd.cut(pd.Series(v), 10, labels=False).to_numpy()
+                    change = np.r_[True, binned[1:] != binned[:-1]]
+                    runs = np.diff(np.r_[np.flatnonzero(change), n])
+                    row["flat_spots"] = int(runs.max())
+                except ValueError:
+                    row["flat_spots"] = n
+            else:
+                row["flat_spots"] = n
+            # tiled-window stability (var of means) / lumpiness (var of vars)
+            if n >= 2:
+                tiles = [v[i:i + 10] for i in range(0, n, 10)]
+                means = pd.Series([t.mean() for t in tiles])
+                varis = pd.Series([t.var(ddof=1) if len(t) > 1 else np.nan for t in tiles])
+                row["stability"] = means.var()  # pandas skips NaN, ddof=1
+                row["lumpiness"] = varis.var()
+            else:
+                row["stability"] = np.nan
+                row["lumpiness"] = np.nan
+            # spectral entropy: normalized Shannon entropy of the periodogram
+            if n > 3:
+                vc = v - v.mean()
+                spec = np.abs(np.fft.rfft(vc)) ** 2
+                spec = spec[1:]  # drop DC
+                tot = spec.sum()
+                if tot > 0:
+                    p = spec / tot
+                    p = p[p > 0]
+                    row["entropy"] = float(-(p * np.log(p)).sum() / np.log(len(spec)))
+                else:
+                    row["entropy"] = np.nan
+            else:
+                row["entropy"] = np.nan
+            # STL-style strengths from the classical decomposition
+            if n > 5:
+                period, _ = auto_periods(g[date_column])
+                period = min(max(int(period), 2), max(n // 2, 2))
+                seasonal, trend = classical_decompose(v, period)
+                rem = v - seasonal - trend
+                vr = np.var(rem)
+                row["trend_strength"] = max(0.0, 1 - vr / np.var(v - seasonal)) if np.var(v - seasonal) else np.nan
+                row["seasonal_strength"] = max(0.0, 1 - vr / np.var(v - trend)) if np.var(v - trend) else np.nan
+            else:
                 row["trend_strength"] = np.nan
+                row["seasonal_strength"] = np.nan
             rows.append(row)
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        if features:
+            out = out[by + [f for f in features if f in out.columns]]
+        return out
 
     return partitioned_group_map(
         ds, by, kernel, sort_by=by + [date_column],

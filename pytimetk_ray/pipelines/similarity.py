@@ -168,3 +168,119 @@ def embedding_neardup_pairs(
         )
 
     return tagged.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------
+
+def _kmeans(x: np.ndarray, nlist: int, seed: int = 17, iters: int = 12) -> np.ndarray:
+    """Deterministic numpy k-means on normalized vectors (spherical-ish):
+    seeded random init, argmax-cosine assignment, mean re-centering."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(x)
+    init = rng.choice(len(x), size=min(nlist, len(x)), replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class _IVFScorer:
+    """Actor: centroids + queries broadcast once; scores each batch row only
+    against the queries probing its cluster."""
+
+    def __init__(self, centroids_ref, query_ref, query_ids, probe_sets_ref,
+                 k: int, id_column: str, vec_column: str, round_digits: int):
+        self.c = centroids_ref if isinstance(centroids_ref, np.ndarray) else ray.get(centroids_ref)
+        q = query_ref if isinstance(query_ref, np.ndarray) else ray.get(query_ref)
+        self.q = _normalize(q)
+        self.query_ids = np.asarray(query_ids)
+        probes = probe_sets_ref if isinstance(probe_sets_ref, np.ndarray) else ray.get(probe_sets_ref)
+        self.probes = probes  # (Q, nprobe) cluster ids per query
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.round_digits = round_digits
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(batch[self.vec_column]))
+        assign = np.argmax(m @ self.c.T, axis=1)  # (B,)
+        ids = batch[self.id_column].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.q)):
+            sel = np.isin(assign, self.probes[qi])
+            if not sel.any():
+                continue
+            sims = m[sel] @ self.q[qi]
+            sub_ids = ids[sel]
+            k = min(self.k, len(sims))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([self.query_ids[qi]] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_s.extend(sims[idx])
+        return pd.DataFrame(
+            {"query_id": out_q, self.id_column: out_id,
+             "cosine": np.round(np.asarray(out_s, dtype=np.float64), self.round_digits)}
+        )
+
+
+def ann_ivf(
+    ds: rd.Dataset,
+    query_matrix: np.ndarray,
+    query_ids,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 20000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    concurrency: int = 4,
+    exclude_self: bool = True,
+    round_digits: int = 12,
+    seed: int = 17,
+) -> rd.Dataset:
+    """Approximate cosine top-k via an IVF coarse quantizer.
+
+    Train: k-means centroids from a driver-side sample (at 100 TB: a
+    ``ds.random_sample`` pass — centroids are tiny and broadcast).  Search:
+    each batch row is assigned to its nearest centroid in the actor
+    (vectorized matmul) and scored ONLY against queries probing that
+    cluster — compute drops by ~nlist/nprobe at a small recall cost.
+    Same (query_id, id, cosine) output contract as ``ann_bruteforce``.
+    """
+    sample = ds.limit(train_sample).to_pandas()
+    x = _to_matrix(sample[vec_column])
+    centroids = _kmeans(x, nlist, seed=seed)
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    # nprobe nearest centroids per query
+    order = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+
+    cref = ray.put(centroids)
+    qref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    pref = ray.put(order)
+
+    scored = ds.map_batches(
+        _IVFScorer,
+        fn_constructor_kwargs=dict(
+            centroids_ref=cref, query_ref=qref, query_ids=query_ids,
+            probe_sets_ref=pref, k=k + (8 if exclude_self else 7),
+            id_column=id_column, vec_column=vec_column, round_digits=round_digits,
+        ),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g[id_column] != g["query_id"]]
+        g = g.sort_values(["cosine", id_column], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

@@ -187,3 +187,36 @@ def test_exact_dedup_rows(docs_df):
     # min id kept per duplicate text
     for i in docs_df.head(5)["doc_id"]:
         assert i in set(out["doc_id"]) and (i + 1_000_000) not in set(out["doc_id"])
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    from pytimetk_ray.pipelines.similarity import ann_ivf
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    q, qids = mat[:8], ids[:8]
+    exact = ann_bruteforce(rd.from_pandas(emb), q, qids, k=10).to_pandas()
+
+    def recall(approx):
+        hits = 0
+        for qi in qids:
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            hits += len(e & a) / max(1, len(e))
+        return hits / len(qids)
+
+    # synthetic embeddings are near-uniform in 64-d (weak cluster structure),
+    # so absolute recall is modest; assert a floor + monotonicity in nprobe
+    r4 = recall(ann_ivf(rd.from_pandas(emb), q, qids, k=10, nlist=8, nprobe=4).to_pandas())
+    r1 = recall(ann_ivf(rd.from_pandas(emb), q, qids, k=10, nlist=8, nprobe=1).to_pandas())
+    assert r4 >= 0.6, r4
+    assert r4 > r1, (r4, r1)
+    # full-probe IVF is exhaustive -> must EQUAL brute force
+    full = ann_ivf(rd.from_pandas(emb), q, qids, k=10, nlist=8, nprobe=8).to_pandas()
+    for qi in qids:
+        e = exact[exact["query_id"] == qi].sort_values(["cosine", "vec_id"],
+                                                       ascending=[False, True])
+        f = full[full["query_id"] == qi].sort_values(["cosine", "vec_id"],
+                                                     ascending=[False, True])
+        np.testing.assert_array_equal(f["vec_id"].to_numpy(), e["vec_id"].to_numpy())
