@@ -204,3 +204,129 @@ def dod_encode_many(ts: np.ndarray, bounds) -> list[bytes]:
     pm[pos1] = 0
 
     return _assemble(widths, pays, widths[0::2] + widths[1::2], bounds)
+
+
+# --- fast decoders (verification path): word-window bit reads + bulk
+# --- zero-run emission.  Byte format identical to codec.gorilla/dod.
+
+class _WordReader:
+    """MSB-first bit reader over 64-bit words: any <=64-bit field costs at
+    most two word fetches (vs the per-byte loop in bits.BitReader)."""
+
+    __slots__ = ("words", "pos")
+
+    def __init__(self, blob: bytes):
+        pad = (-len(blob)) % 8
+        if pad:
+            blob = blob + b"\x00" * pad
+        self.words = np.frombuffer(blob, dtype=">u8").tolist()
+        self.pos = 0
+
+    def read(self, w: int) -> int:
+        p = self.pos
+        self.pos = p + w
+        wi, off = divmod(p, 64)
+        first = self.words[wi]
+        end = off + w
+        if end <= 64:
+            return (first >> (64 - end)) & ((1 << w) - 1)
+        rem = end - 64
+        lo = self.words[wi + 1] >> (64 - rem)
+        return ((first & ((1 << (64 - off)) - 1)) << rem) | lo
+
+
+def gorilla_decode_fast(blob: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` float64s; '0'-control runs (repeated values — constant
+    count columns) are emitted in bulk via the precomputed set-bit index."""
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    bl = bits.tolist()
+    nbits = len(bits)
+    ones = None  # lazy: only needed when a zero-run actually occurs
+    r = _WordReader(blob)
+    prev = r.read(64)
+    out[0] = prev
+    lead, mlen = -1, -1
+    i = 1
+    while i < n:
+        p = r.pos
+        if bl[p]:  # '1x' control
+            r.pos = p + 1
+            if r.read(1) == 0:  # '10': previous window
+                x = r.read(mlen) << (64 - lead - mlen)
+            else:  # '11': new window
+                lead = r.read(5)
+                mlen = r.read(6) + 1
+                x = r.read(mlen) << (64 - lead - mlen)
+            prev ^= x
+            out[i] = prev
+            i += 1
+            continue
+        # zero-run: repeat prev until the next set bit (bulk emit)
+        if ones is None:
+            ones = np.flatnonzero(bits)
+        j = np.searchsorted(ones, p)
+        nxt = int(ones[j]) if j < len(ones) else nbits
+        run = min(nxt - p, n - i)
+        out[i:i + run] = prev
+        i += run
+        r.pos = p + run
+    return out.view(np.float64)
+
+
+def dod_decode_fast(blob: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` int64 timestamps; zero delta-of-delta runs (regular
+    grids) are emitted in bulk as an arithmetic sequence."""
+    M = (1 << 64) - 1
+
+    def s64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    bl = bits.tolist()
+    ones = None
+    r = _WordReader(blob)
+    t = s64(r.read(64))
+    out[0] = t
+    if n == 1:
+        return out
+    delta = s64(r.read(64))
+    t = s64((t + delta) & M)
+    out[1] = t
+    i = 2
+    nbits = len(bits)
+    while i < n:
+        p = r.pos
+        if bl[p]:
+            r.pos = p + 1
+            if r.read(1) == 0:
+                d = r.read(7) - 63
+            elif r.read(1) == 0:
+                d = r.read(9) - 255
+            elif r.read(1) == 0:
+                d = r.read(12) - 2047
+            else:
+                d = s64(r.read(64))
+            delta = s64((delta + d) & M)
+            t = s64((t + delta) & M)
+            out[i] = t
+            i += 1
+            continue
+        # run of zero DoDs: constant delta -> arithmetic bulk fill
+        if ones is None:
+            ones = np.flatnonzero(bits)
+        j = np.searchsorted(ones, p)
+        nxt = int(ones[j]) if j < len(ones) else nbits
+        run = min(nxt - p, n - i)
+        seq = (np.int64(t) + np.arange(1, run + 1, dtype=np.int64)
+               * np.int64(delta))
+        out[i:i + run] = seq
+        t = int(seq[-1])
+        i += run
+        r.pos = p + run
+    return out

@@ -27,7 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pytimetk_ray.codec import dod_decode, dod_encode, gorilla_decode, gorilla_encode
+from pytimetk_ray.codec.vectorized import dod_decode_fast as dod_decode
+from pytimetk_ray.codec.vectorized import gorilla_decode_fast as gorilla_decode
 
 DEFAULT_VALUE_COLUMNS = ["value_sum", "value_count", "value_min", "value_max"]
 

@@ -101,3 +101,27 @@ def test_dod_many_byte_equal(segs):
     blobs = dod_encode_many(vals, bounds)
     for blob, s in zip(blobs, segs):
         assert blob == dod_encode(np.asarray(s, dtype=np.int64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=1, max_size=80))
+def test_gorilla_decode_fast_equals_slow(vals):
+    from pytimetk_ray.codec.vectorized import gorilla_decode_fast
+
+    v = np.asarray(vals, dtype=np.float64)
+    b = gorilla_encode(v)
+    a = gorilla_decode(b, len(v)).view(np.uint64)
+    c = gorilla_decode_fast(b, len(v)).view(np.uint64)
+    assert np.array_equal(a, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=1, max_size=80))
+def test_dod_decode_fast_equals_slow(vals):
+    from pytimetk_ray.codec.vectorized import dod_decode_fast
+
+    v = np.asarray(vals, dtype=np.int64)
+    b = dod_encode(v)
+    assert np.array_equal(dod_decode(b, len(v)), dod_decode_fast(b, len(v)))
