@@ -136,6 +136,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def filter_by_time(sf_dir):
         return tk.filter_by_time(_events(sf_dir), "ts", "2024-01-05", "2024-01-10")
 
+    def summarize_wide(sf_dir):
+        # wide pivot of the (small) aggregate result, fillna=0
+        pdf = tk.summarize_by_time(
+            _events(sf_dir), "ts", "value", freq="D", agg_func="sum",
+            by=["event_type"], wide_format=True, fillna=0,
+        )
+        for c in pdf.columns:
+            if c != "bucket_ts":
+                pdf[c] = np.round(pdf[c].to_numpy(np.float64), 6)
+        pdf["bucket_ts"] = pdf["bucket_ts"].astype("datetime64[us]")
+        return pdf
+
+    def reduce_memory(sf_dir):
+        # lossless integer downcast (values unchanged; canon compare casts
+        # widths back up, so equality proves losslessness)
+        from pytimetk_ray.ops.memory import reduce_memory_usage
+
+        ds = reduce_memory_usage(_events(sf_dir))
+        return ds.select_columns(["event_id", "user_id", "value"])
+
     def augment_lags(sf_dir):
         ds = tk.augment_lags(_events(sf_dir), ["user_id"], ["ts"], "value", lags=2)
         ds = _nan_to_null(ds, ["value_lag_1", "value_lag_2"])
@@ -777,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_by_time_day_type": summarize_by_time_day_type,
         "summarize_by_time_month": summarize_by_time_month,
         "filter_by_time": filter_by_time,
+        "summarize_wide": summarize_wide,
+        "reduce_memory": reduce_memory,
         "augment_lags": augment_lags,
         "augment_leads": augment_leads,
         "augment_diffs": augment_diffs,
@@ -883,6 +905,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM events
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts <= TIMESTAMP '2024-01-10 23:59:59.999999'
+        """,
+        "summarize_wide": """
+            SELECT date_trunc('day', ts) AS bucket_ts,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 6)    AS value_sum_click,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 6)    AS value_sum_error,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 6) AS value_sum_purchase,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'), 0), 6)   AS value_sum_signup,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 6)     AS value_sum_view
+            FROM events GROUP BY 1
+        """,
+        "reduce_memory": """
+            SELECT event_id, user_id, value FROM events
         """,
         "augment_lags": """
             SELECT event_id, user_id, ts, value,
