@@ -56,12 +56,26 @@ class TierEncoder:
             for col in self.value_columns:
                 cols[f"{col}_blob"] = []
             return pd.DataFrame(cols)
-        batch = batch.sort_values([self.key_column, self.date_column], kind="mergesort")
+        # tier="auto": take the tier label from the batch's hive-partition
+        # column (one actor pool encodes every tier in a single pass)
+        auto_tier = self.tier == "auto"
+        seg_keys = ([("tier" if auto_tier else None), self.key_column])
+        seg_keys = [k for k in seg_keys if k]
+        batch = batch.sort_values(seg_keys + [self.date_column], kind="mergesort")
         ts_all = batch[self.date_column].to_numpy()
         unit = str(ts_all.dtype)
         unit = unit[unit.index("[") + 1 : unit.index("]")]
         ts_i64 = ts_all.astype(np.int64)
-        codes, uniques = pd.factorize(batch[self.key_column], sort=False)
+        if auto_tier:
+            key_index = pd.MultiIndex.from_arrays(
+                [batch["tier"], batch[self.key_column]])
+            codes, uniques = pd.factorize(key_index, sort=False)
+            tier_of = np.asarray([u[0] for u in uniques], dtype=object)
+            conv_of = np.asarray([u[1] for u in uniques], dtype=object)
+        else:
+            codes, uniques = pd.factorize(batch[self.key_column], sort=False)
+            conv_of = uniques
+            tier_of = None
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         bounds = np.append(starts, n)
 
@@ -78,9 +92,10 @@ class TierEncoder:
         np.maximum(scales, 1, out=scales)
         scaled = ts_i64 // np.repeat(scales, npts)
 
+        chunk_codes = codes[cs[:-1]]
         out = {
-            "conv_id": uniques[codes[cs[:-1]]],
-            "tier": self.tier,
+            "conv_id": conv_of[chunk_codes],
+            "tier": tier_of[chunk_codes] if auto_tier else self.tier,
             "start_ts": ts_all[cs[:-1]],
             "n_points": npts.astype(np.int64),
             "ts_scale": scales.astype(np.int64),

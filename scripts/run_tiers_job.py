@@ -93,17 +93,24 @@ def main() -> None:
     metrics["points_per_sec"] = round(points / rollup_sec, 1)
 
     if args.encode:
+        import ray as _ray
+
+        enc_conc = max(int(_ray.cluster_resources().get("CPU", 8)) // 2, 2)
         t1 = time.time()
-        for freq in tiers:
-            name = TIER_NAMES.get(freq, freq)
-            tds = rd.read_parquet(os.path.join(args.out, f"tier={name}"))
-            tds.map_batches(
-                TierEncoder,
-                fn_constructor_kwargs=dict(tier=name),
-                batch_format="pandas",
-                batch_size=65536,
-                concurrency=4,
-            ).write_parquet(os.path.join(args.out, f"chunks={name}"))
+        # ONE actor pool for every tier: read the tier dirs together (the
+        # hive 'tier' column labels rows) and encode with tier="auto"
+        names = [TIER_NAMES.get(f, f) for f in tiers]
+        reads = [rd.read_parquet(os.path.join(args.out, f"tier={n}"))
+                 for n in names]  # each re-adds its hive 'tier' column
+        tds = reads[0].union(*reads[1:]) if len(reads) > 1 else reads[0]
+        tds.map_batches(
+            TierEncoder,
+            fn_constructor_kwargs=dict(tier="auto"),
+            batch_format="pandas",
+            batch_size=None,  # whole blocks: the _many encoders amortize
+            concurrency=enc_conc,  # < cpus: leave room for read tasks
+        ).write_parquet(os.path.join(args.out, "chunks"),
+                        partition_cols=["tier"])
         metrics["encode_sec"] = round(time.time() - t1, 3)
 
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

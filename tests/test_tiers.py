@@ -207,3 +207,29 @@ def test_partial_resume_prunes_committed_partitions(corpus, tmp_path):
         if this_pid == pid:
             continue  # same conv partition in other tiers is re-read/rewritten
         assert os.path.getmtime(f) == t0, f"{f} rewritten despite commit"
+
+
+def test_encoder_auto_tier(corpus, tmp_path):
+    """tier='auto' takes the tier label from the batch's hive column: one
+    actor pool encodes every tier; per-tier chunk streams decode bit-equal."""
+    out = str(tmp_path / "tiers_auto")
+    rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=4,
+                 input_fingerprint="ta")
+    frames = []
+    for tier in ("1m", "1h", "1d"):
+        df = read_tier_pandas(out, tier)
+        df["tier"] = tier
+        frames.append(df)
+    mixed = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=3)
+    enc = TierEncoder("auto")
+    chunks = enc(mixed)
+    assert set(chunks["tier"]) == {"1m", "1h", "1d"}
+    for tier in ("1m", "1h", "1d"):
+        dec = decode_chunks(chunks[chunks["tier"] == tier]).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        a = read_tier_pandas(out, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        assert len(a) == len(dec)
+        np.testing.assert_array_equal(
+            a["value_sum"].to_numpy().view(np.uint64),
+            dec["value_sum"].to_numpy().view(np.uint64))
