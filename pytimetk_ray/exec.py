@@ -168,3 +168,46 @@ def ts_unit(tbl_or_schema) -> str:
     if isinstance(tbl_or_schema, pa.DataType):
         return tbl_or_schema.unit
     raise TypeError(type(tbl_or_schema))
+
+
+OVL_COL = "__ovl__"
+RID_COL = "__rid__"
+
+
+def tag_overlap_splits(ds: rd.Dataset, order_col: str, *, rows_per_split: int,
+                       overlap: int) -> rd.Dataset:
+    """Split ordered groups into contiguous ranges of a DENSE integer order
+    column (``range_id = order // rows_per_split``), duplicating the last
+    ``overlap`` rows of each range into the NEXT range as a flagged prefix.
+
+    This is the hot-group escape hatch for order-sensitive row-window
+    kernels (rolling/lags/diffs): a single conversation too large for one
+    task is processed as independent ranges, each carrying just enough left
+    context.  Requires ``order_col`` to be 0-based dense integers per group
+    (transcript ``turn_idx``); value-gapped orders would make "last N rows"
+    undecidable locally.  Overlap rows are marked ``__ovl__=1`` and must be
+    dropped after the kernel."""
+    if rows_per_split <= overlap:
+        raise ValueError("rows_per_split must exceed overlap")
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        o = batch[order_col].to_numpy()
+        batch = batch.copy()
+        batch[RID_COL] = o // rows_per_split
+        batch[OVL_COL] = np.int8(0)
+        dup = batch[(o % rows_per_split) >= rows_per_split - overlap].copy()
+        dup[RID_COL] = dup[RID_COL] + 1
+        dup[OVL_COL] = np.int8(1)
+        return pd.concat([batch, dup], ignore_index=True)
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def drop_overlap(ds: rd.Dataset) -> rd.Dataset:
+    """Remove overlap-prefix rows and the helper columns after the kernel."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch[OVL_COL] == 0]
+        return out.drop(columns=[OVL_COL, RID_COL])
+
+    return ds.map_batches(fn, batch_format="pandas")

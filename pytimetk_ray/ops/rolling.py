@@ -46,6 +46,7 @@ def augment_rolling(
     center: bool = False,
     quantile: float = 0.5,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    split_rows: int | None = None,
 ) -> rd.Dataset:
     """Append ``{col}_rolling_{func}_win_{w}`` columns.
 
@@ -53,12 +54,39 @@ def augment_rolling(
     suffix ``quantile_{int(q*100)}``), a ``("name", callable)`` tuple, or a
     list mixing these.  ``min_periods`` defaults to the window size (rows
     before the window fills are null) — the reference's default.
+
+    ``split_rows``: HOT-GROUP escape hatch (north_rule's explicit salting
+    for order-sensitive kernels): groups are split into contiguous ranges of
+    that many rows of the DENSE-integer order column (turn_idx), each range
+    carrying the previous ``max(window)-1`` rows as an overlap prefix, so a
+    conversation larger than one task's share parallelizes without changing
+    window contents.  Requires ``center=False`` and ``min_periods == window``
+    (the defaults); sums/means may differ from the unsplit path in the last
+    float bit (different accumulation history), min/max/count are identical.
     """
     cols = [value_columns] if isinstance(value_columns, str) else list(value_columns)
     windows = _norm_windows(window)
     funcs = window_func if isinstance(window_func, list) else [window_func]
     group_keys = list(group_keys)
     order_by = list(order_by)
+
+    if split_rows:
+        from pytimetk_ray.exec import RID_COL, drop_overlap, tag_overlap_splits
+
+        if center:
+            raise NotImplementedError("split_rows requires center=False")
+        if min_periods is not None and min_periods != max(windows):
+            raise NotImplementedError("split_rows requires min_periods == window")
+        tagged = tag_overlap_splits(
+            ds, order_by[-1], rows_per_split=split_rows,
+            overlap=max(windows) - 1,
+        )
+        out = augment_rolling(
+            tagged, group_keys + [RID_COL], order_by, value_columns,
+            window=window, window_func=window_func, min_periods=min_periods,
+            center=center, quantile=quantile, num_partitions=num_partitions,
+        )
+        return drop_overlap(out)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

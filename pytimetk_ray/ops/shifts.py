@@ -64,11 +64,29 @@ def _shift_op(
     periods,
     kind: str,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    split_rows: int | None = None,
 ) -> rd.Dataset:
     cols = [value_columns] if isinstance(value_columns, str) else list(value_columns)
     ks = _norm_periods(periods)
     group_keys = list(group_keys)
     order_by = list(order_by)
+
+    if split_rows:
+        # hot-group escape hatch: contiguous dense-integer order ranges with
+        # a max-shift overlap prefix (exec.tag_overlap_splits); exact —
+        # shifts copy values, no accumulation
+        from pytimetk_ray.exec import RID_COL, drop_overlap, tag_overlap_splits
+
+        if kind == "lead":
+            raise NotImplementedError("split_rows for leads needs RIGHT overlap")
+        if any(isinstance(k, str) for k in ks):
+            raise NotImplementedError("split_rows with duration shifts")
+        tagged = tag_overlap_splits(
+            ds, order_by[-1], rows_per_split=split_rows, overlap=max(ks),
+        )
+        out = _shift_op(tagged, group_keys + [RID_COL], order_by, value_columns,
+                        periods, kind, num_partitions=num_partitions)
+        return drop_overlap(out)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(group_keys, sort=False, group_keys=False)

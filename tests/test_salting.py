@@ -103,3 +103,52 @@ def test_salted_gap_fill_bit_equal(tmp_path):
     gaps = t[t["value_count"] == 0]
     assert (gaps["value_sum"] == 0).all()
     assert gaps["value_min"].isna().all() and gaps["value_max"].isna().all()
+
+
+def test_rolling_hot_split_matches_unsplit(tmp_path):
+    """split_rows: a hot conversation processed as overlapped contiguous
+    ranges produces the same rolling windows as the whole-group path."""
+    corpus = add_value_column(make_transcripts(10, seed=21, hot_conv_factor=200))
+    import pytimetk_ray as tk
+
+    base = tk.augment_rolling(
+        rd.from_pandas(corpus), ["conv_id"], ["turn_idx"], "value",
+        window=8, window_func=["mean", "sum", "min", "max"], num_partitions=4,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    split = tk.augment_rolling(
+        rd.from_pandas(corpus), ["conv_id"], ["turn_idx"], "value",
+        window=8, window_func=["mean", "sum", "min", "max"], num_partitions=4,
+        split_rows=64,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert len(base) == len(split) == len(corpus)
+    # min/max/window membership identical; sum/mean allclose (accumulation
+    # history differs across the split boundary by design)
+    for c in ("value_rolling_min_win_8", "value_rolling_max_win_8"):
+        np.testing.assert_array_equal(base[c].to_numpy(), split[c].to_numpy())
+    for c in ("value_rolling_mean_win_8", "value_rolling_sum_win_8"):
+        np.testing.assert_allclose(base[c].to_numpy(), split[c].to_numpy(),
+                                   rtol=1e-9, equal_nan=True)
+    # and the hot conversation really did split across range ids
+    hot_rows = int((corpus["conv_id"] == "conv000000").sum())
+    assert hot_rows > 64
+
+
+def test_lags_hot_split_exact(tmp_path):
+    """split_rows for lags/diffs is EXACT (shifts copy values)."""
+    corpus = add_value_column(make_transcripts(10, seed=22, hot_conv_factor=150))
+    import pytimetk_ray as tk
+
+    base = tk.augment_lags(
+        rd.from_pandas(corpus), ["conv_id"], ["turn_idx"], "value",
+        lags=3, num_partitions=4,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    split = tk.augment_lags(
+        rd.from_pandas(corpus), ["conv_id"], ["turn_idx"], "value",
+        lags=3, num_partitions=4, split_rows=50,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert len(base) == len(split) == len(corpus)
+    for k in (1, 2, 3):
+        c = f"value_lag_{k}"
+        np.testing.assert_array_equal(
+            base[c].to_numpy(np.float64).view(np.uint64),
+            split[c].to_numpy(np.float64).view(np.uint64))
