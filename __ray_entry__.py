@@ -344,6 +344,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return jaccard_allpairs(_docs(sf_dir), threshold=0.2)
 
+    def dedup_clusters(sf_dir):
+        # transitive duplicate clusters over the EXACT-Jaccard pair graph;
+        # SQL oracle = recursive reachability closure + min reachable id
+        from pytimetk_ray.pipelines.dedup import dedup_components, jaccard_allpairs
+
+        pairs = jaccard_allpairs(_docs(sf_dir), threshold=0.2)
+        return dedup_components(pairs)
+
     def dedup_minhash(sf_dir):
         return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -822,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
@@ -1112,6 +1121,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
         """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE jac AS (
+                SELECT id_a, id_b FROM (
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+                UNION
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM w WHERE len(ws) < 3 AND len(ws) > 0
+            ), shd AS (
+                SELECT DISTINCT doc_id, shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM shd a JOIN shd b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+        )
+            ), edges AS (
+                SELECT id_a AS node, id_b AS nbr FROM jac
+                UNION SELECT id_b, id_a FROM jac
+            ), nodes AS (
+                SELECT DISTINCT node FROM edges
+            ), reach AS (
+                SELECT node, node AS r FROM nodes
+                UNION
+                SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+        """,
+
         "doc_langid": r"""
             WITH w AS (
                 SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[\w'']+')) AS word
