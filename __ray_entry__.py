@@ -1485,7 +1485,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, quantile_cont(du, 0.5) / 1e6 AS med FROM d GROUP BY 1
             ), u AS (
                 SELECT user_id, med,
-                       CASE WHEN med < 60 THEN 'S' WHEN med < 3600 THEN 'T'
+                       CASE WHEN med IS NULL THEN NULL
+                            WHEN med < 60 THEN 'S' WHEN med < 3600 THEN 'T'
                             WHEN med < 86400 THEN 'H' WHEN med < 604800 THEN 'D'
                             WHEN med < 2630016 THEN 'W' WHEN med < 7890048 THEN 'M'
                             WHEN med < 31557600 THEN 'Q' ELSE 'Y' END AS unit,
@@ -1501,12 +1502,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    ROUND(scale, 6) AS freq_median_scale,
                    unit AS freq_median_unit,
-                   CASE unit WHEN 'S' THEN '1H' WHEN 'T' THEN '1D' WHEN 'H' THEN '1D'
-                             WHEN 'D' THEN '1W' WHEN 'W' THEN '1Q' WHEN 'M' THEN '1Y'
-                             WHEN 'Q' THEN '1Y' ELSE '5Y' END AS seasonal_period,
-                   CASE unit WHEN 'S' THEN '12H' WHEN 'T' THEN '14D' WHEN 'H' THEN '1M'
-                             WHEN 'D' THEN '1Q' WHEN 'W' THEN '1Y' WHEN 'M' THEN '5Y'
-                             WHEN 'Q' THEN '10Y' ELSE '30Y' END AS trend_period
+                   CASE WHEN unit IS NULL THEN NULL
+                        WHEN unit = 'S' THEN '1H' WHEN unit = 'T' THEN '1D'
+                        WHEN unit = 'H' THEN '1D' WHEN unit = 'D' THEN '1W'
+                        WHEN unit = 'W' THEN '1Q' WHEN unit = 'M' THEN '1Y'
+                        WHEN unit = 'Q' THEN '1Y' ELSE '5Y' END AS seasonal_period,
+                   CASE WHEN unit IS NULL THEN NULL
+                        WHEN unit = 'S' THEN '12H' WHEN unit = 'T' THEN '14D'
+                        WHEN unit = 'H' THEN '1M' WHEN unit = 'D' THEN '1Q'
+                        WHEN unit = 'W' THEN '1Y' WHEN unit = 'M' THEN '5Y'
+                        WHEN unit = 'Q' THEN '10Y' ELSE '30Y' END AS trend_period
             FROM u
         """,
         "seasonal_diag": """

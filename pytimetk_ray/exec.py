@@ -192,6 +192,15 @@ def tag_overlap_splits(ds: rd.Dataset, order_col: str, *, rows_per_split: int,
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         o = batch[order_col].to_numpy()
+        if o.dtype.kind not in "iu":
+            # a timestamp / float order column would silently yield ranges
+            # with insufficient overlap context (range boundaries are
+            # computed as order // rows_per_split) — fail loudly instead
+            raise TypeError(
+                f"tag_overlap_splits requires a dense 0-based integer order "
+                f"column (e.g. turn_idx); got {order_col!r} with dtype "
+                f"{o.dtype} — pass the per-group row index, not a timestamp"
+            )
         batch = batch.copy()
         batch[RID_COL] = o // rows_per_split
         batch[OVL_COL] = np.int8(0)

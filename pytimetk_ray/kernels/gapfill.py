@@ -45,6 +45,7 @@ def pad_groups(
     start_date=None,
     end_date=None,
     fillna=None,
+    const_ffill: bool = True,
     max_total_rows: int = 100_000_000,
 ) -> pd.DataFrame:
     """Pad every group in ``part`` (pre-sorted by group_keys+date) to a dense
@@ -160,8 +161,12 @@ def pad_groups(
         padded[other] = padded[other].fillna(fillna)
         return padded
 
-    # constant-column forward fill, per group, per reference semantics
-    if other and g > 0:
+    # constant-column forward fill, per group, per reference semantics.
+    # ``const_ffill=False`` disables it (gap rows stay null in EVERY non-key
+    # column) — required by callers that must distinguish gap rows afterwards
+    # (the tier cascade: a count column constant within a group would
+    # otherwise be ffilled onto gap rows, inflating upper-tier counts).
+    if other and g > 0 and const_ffill:
         nun = part.groupby(codes, sort=False)[other].nunique(dropna=False)
         for col in other:
             const_groups = nun.index[nun[col].to_numpy() == 1].to_numpy()

@@ -127,12 +127,18 @@ def frequency_summary_by(ds, date_column: str, *, by, num_partitions=None):
                 keys = (keys,)
             med = g[date_column].diff().median()
             med_s = med.total_seconds() if pd.notna(med) else np.nan
-            unit, scale = "D", np.nan
-            for u, base, upper in _UNITS:
-                if med_s < upper:
-                    unit, scale = u, med_s / base
-                    break
-            seasonal, trend = _TEMPLATE[unit]
+            if np.isnan(med_s):
+                # single-observation group: no spacing exists — emit NULLs
+                # (matches the SQL oracle's NULL-median guard; an arbitrary
+                # 'D'/'Y' fallback would diverge between engines)
+                unit, scale, seasonal, trend = None, np.nan, None, None
+            else:
+                unit, scale = "Y", med_s / _UNITS[-1][1]
+                for u, base, upper in _UNITS:
+                    if med_s < upper:
+                        unit, scale = u, med_s / base
+                        break
+                seasonal, trend = _TEMPLATE[unit]
             rows.append(dict(zip(by, keys)) | {
                 "freq_median_scale": scale, "freq_median_unit": unit,
                 "seasonal_period": seasonal, "trend_period": trend,

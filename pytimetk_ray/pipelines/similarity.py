@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -23,6 +24,44 @@ import ray.data as rd
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _arrow_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 view of an Arrow list/fixed_size_list column without a
+    per-row Python loop: flatten the child values buffer and reshape (valid
+    whenever every list has the same length — embeddings always do)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(n, d).astype(np.float64, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if n and np.all(widths == widths[0]) and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            # offsets may not start at 0 on a sliced array
+            flat = flat[: int(widths[0]) * n] if offs[0] == 0 else None
+            if flat is not None:
+                return flat.reshape(n, int(widths[0])).astype(np.float64, copy=False)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+
+def _topk_tie_exact(s: np.ndarray, ids: np.ndarray, k: int):
+    """Indices of the k best rows by (s desc, id asc), resolving value ties
+    EXACTLY: partition for the k-th value, include every tie at the boundary,
+    then order the small candidate set.  ``s`` must already be rounded to the
+    precision the downstream comparison uses, else a tie-dense batch can
+    prune the id-ascending winner before rounding."""
+    n = len(s)
+    if k >= n:
+        cand = np.arange(n)
+    else:
+        kth = np.partition(s, n - k)[n - k]
+        cand = np.flatnonzero(s >= kth)
+    order = np.lexsort((ids[cand], -s[cand]))
+    return cand[order[:k]]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -44,23 +83,28 @@ class _Scorer:
         self.vec_column = vec_column
         self.round_digits = round_digits
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_to_matrix(batch[self.vec_column]))  # (B, d)
-        sims = self.q @ m.T  # (Q, B)
-        ids = batch[self.id_column].to_numpy()
+    def __call__(self, batch: pa.Table) -> dict:
+        m = _normalize(_arrow_matrix(batch[self.vec_column]))  # (B, d)
+        # round BEFORE candidate selection: the final reduce tie-breaks on
+        # (rounded cosine desc, id asc) — selecting unrounded here could
+        # prune the id-ascending winner of a rounding-induced tie
+        sims = np.round(self.q @ m.T, self.round_digits)  # (Q, B)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_s = [], [], []
         # local top-k per query (full top-k resolved in the final reduce)
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         for qi in range(sims.shape[0]):
-            idx = part[qi]
+            idx = _topk_tie_exact(sims[qi], ids, k)
             out_q.extend([self.query_ids[qi]] * len(idx))
-            out_id.extend(ids[idx])
-            out_s.extend(sims[qi, idx])
-        return pd.DataFrame(
-            {"query_id": out_q, self.id_column: out_id,
-             "cosine": np.round(out_s, self.round_digits)}
-        )
+            out_id.append(ids[idx])
+            out_s.append(sims[qi, idx])
+        return {
+            "query_id": np.asarray(out_q, dtype=self.query_ids.dtype),
+            self.id_column: (np.concatenate(out_id) if out_id
+                             else np.array([], dtype=ids.dtype)),
+            "cosine": (np.concatenate(out_s) if out_s
+                       else np.array([], dtype=np.float64)),
+        }
 
 
 def ann_bruteforce(
@@ -87,7 +131,7 @@ def ann_bruteforce(
             query_ref=qref, query_ids=query_ids, k=k + (8 if exclude_self else 7),
             id_column=id_column, vec_column=vec_column, round_digits=round_digits,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
     )
@@ -206,26 +250,30 @@ class _IVFScorer:
         self.vec_column = vec_column
         self.round_digits = round_digits
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_to_matrix(batch[self.vec_column]))
+    def __call__(self, batch: pa.Table) -> dict:
+        m = _normalize(_arrow_matrix(batch[self.vec_column]))
         assign = np.argmax(m @ self.c.T, axis=1)  # (B,)
-        ids = batch[self.id_column].to_numpy()
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
         for qi in range(len(self.q)):
             sel = np.isin(assign, self.probes[qi])
             if not sel.any():
                 continue
-            sims = m[sel] @ self.q[qi]
+            # rounded before selection + exact tie handling: see _Scorer
+            sims = np.round(m[sel] @ self.q[qi], self.round_digits)
             sub_ids = ids[sel]
             k = min(self.k, len(sims))
-            idx = np.argpartition(-sims, k - 1)[:k]
+            idx = _topk_tie_exact(sims, sub_ids, k)
             out_q.extend([self.query_ids[qi]] * len(idx))
-            out_id.extend(sub_ids[idx])
-            out_s.extend(sims[idx])
-        return pd.DataFrame(
-            {"query_id": out_q, self.id_column: out_id,
-             "cosine": np.round(np.asarray(out_s, dtype=np.float64), self.round_digits)}
-        )
+            out_id.append(sub_ids[idx])
+            out_s.append(sims[idx])
+        return {
+            "query_id": np.asarray(out_q, dtype=self.query_ids.dtype),
+            self.id_column: (np.concatenate(out_id) if out_id
+                             else np.array([], dtype=ids.dtype)),
+            "cosine": (np.concatenate(out_s) if out_s
+                       else np.array([], dtype=np.float64)),
+        }
 
 
 def ann_ivf(
@@ -272,7 +320,7 @@ def ann_ivf(
             probe_sets_ref=pref, k=k + (8 if exclude_self else 7),
             id_column=id_column, vec_column=vec_column, round_digits=round_digits,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
     )

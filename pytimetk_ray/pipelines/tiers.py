@@ -143,7 +143,11 @@ def rollup_tiers(
     committed = {}
     prev = "raw"
     for name in tier_names:
-        fps[name] = f"{input_fingerprint}|{prev}->{name}"
+        # semantics-affecting params are part of the fingerprint so
+        # checkpoints self-invalidate when they change (a resume with
+        # gap_fill toggled must not reuse sparse/dense partitions)
+        fps[name] = f"{input_fingerprint}|{prev}->{name}" + (
+            "|gapfill" if gap_fill else "")
         committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
         prev = name
 
@@ -246,7 +250,12 @@ def rollup_tiers(
                 }
             )
             if gap_fill and i == 0:
-                df = pad_groups(df, [key], "bucket_ts", freq, fillna=None)
+                # const_ffill=False: gap rows must stay NaN in EVERY aggregate
+                # column (pad_by_time's constant-column ffill would copy a
+                # group-constant value_count/min/max onto gap rows, inflating
+                # upper-tier counts and turning gap means into 0 instead of NaN)
+                df = pad_groups(df, [key], "bucket_ts", freq, fillna=None,
+                                const_ffill=False)
                 df["value_sum"] = df["value_sum"].fillna(0.0)
                 df["value_count"] = df["value_count"].fillna(0).astype(np.int64)
                 codes2 = pd.Index(uniques).get_indexer(df[key])
@@ -338,8 +347,7 @@ def _rollup_salted(ds, *, out_dir, key, date_column, value_column, tiers,
         src_b, out_dir=out_dir, key=key, date_column="bucket_ts",
         value_column=value_column, tiers=tiers_b,
         num_partitions=num_partitions,
-        input_fingerprint=f"{input_fingerprint}|salt{salt}|from_{name0}"
-        + ("|gapfill" if gap_fill else ""),
+        input_fingerprint=f"{input_fingerprint}|salt{salt}|from_{name0}",
         resume=resume, _from_tier=True, gap_fill=gap_fill,
     )
     if gap_fill:
