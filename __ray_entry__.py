@@ -514,18 +514,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_ewma_vol_5_0.94"])
 
     def fin_fip(sf_dir):
-        # rows-only: sign(prod(1+ret)-1) is pure float noise when a window
-        # telescopes back to its start price (product exactly 1), so no SQL
-        # can reproduce pandas' noise sign; pandas rolling also converts inf
-        # observations to NaN internally
+        # UNROUNDED: the engine's left-fold window product is bit-identical
+        # to the oracle's LAG-chain ((((f4*f3)*f2)*f1)*f0, and %neg/%pos are
+        # exact ratios of identically-computed ints — even the noise sign of
+        # a telescoping window (product exactly 1) reproduces
         ds = fin.augment_fip_momentum(_events(sf_dir), ["user_id"], ["ts"],
                                       "value", window=5)
         ds = _nan_to_null(ds, ["value_fip_momentum_5"])
         return ds.select_columns(["event_id", "user_id", "value_fip_momentum_5"])
 
     def fin_qsmomentum(sf_dir):
-        # rows-only: pandas rolling-std vs SQL stddev differ at ~1e-9
-        # relative, amplified through the ill-conditioned (legs/vol) ratio
+        # UNROUNDED: explicit two-pass window std (left-fold, oldest first)
+        # is bit-identical to the oracle's LAG-chain SQL; legs are identical
+        # float expressions on both sides
         ds = fin.augment_qsmomentum(_events(sf_dir), ["user_id"], ["ts"], "value",
                                     roc_fast_period=3, roc_slow_period=10,
                                     returns_period=5)
@@ -533,7 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_qsmom_3_10_5"])
 
     def fin_risk(sf_dir):
-        # rows-only: same rolling-std algorithm mismatch as qsmomentum
+        # UNROUNDED: all five metrics are explicit two-pass window formulas
+        # mirrored term-for-term (same fold order) by the oracle SQL
         ds = fin.augment_rolling_risk_metrics(_events(sf_dir), ["user_id"], ["ts"],
                                               "value", window=5)
         cols = ["value_sharpe_ratio_5", "value_sortino_ratio_5",
@@ -543,14 +545,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id"] + cols)
 
     def fin_hurst(sf_dir):
-        # rows-only: per-window rescaled-range loop
+        # round-6: the oracle recomputes R/S via a pairs self-join (AVG vs
+        # numpy pairwise mean differ at ~1e-15; log output is boundary-safe)
         ds = fin.augment_hurst_exponent(_events(sf_dir), ["user_id"], ["ts"],
                                         "value", window=20)
+        ds = _round_cols(ds, ["value_hurst_20"])
         ds = _nan_to_null(ds, ["value_hurst_20"])
         return ds.select_columns(["event_id", "user_id", "value_hurst_20"])
 
     def fin_adx(sf_dir):
-        # rows-only: three chained Wilder EMAs with min_periods
+        # UNROUNDED: pandas ewm(adjust=False) == the plain Wilder recursion
+        # (1-a)*y + a*x bit-for-bit (denominator (1-a)+a is exactly 1.0 for
+        # a=1/14), so the oracle's recursive CTE reproduces all three
+        # chained smoothings exactly
         ds = fin.augment_adx(_events_hlc(sf_dir), ["user_id"], ["ts"],
                              "high", "low", "value", periods=14)
         cols = ["value_plus_di_14", "value_minus_di_14", "value_adx_14"]
@@ -1890,6 +1897,199 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cnt >= 5 AND s2 IS NOT NULL
                         THEN ROUND(SQRT(s2), 6) END AS "value_ewma_vol_5_0.94"
             FROM r
+        """,
+        "fin_fip": """
+            WITH r AS (
+                SELECT event_id, user_id, ts, value / LAG(value) OVER w - 1 AS ret,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), f AS (
+                SELECT event_id, user_id, rn, 1.0 + ret AS f0,
+                       LAG(1.0 + ret, 1) OVER w AS f1, LAG(1.0 + ret, 2) OVER w AS f2,
+                       LAG(1.0 + ret, 3) OVER w AS f3, LAG(1.0 + ret, 4) OVER w AS f4,
+                       (CASE WHEN ret < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,1) OVER w < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,2) OVER w < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,3) OVER w < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,4) OVER w < 0 THEN 1 ELSE 0 END) AS nneg,
+                       (CASE WHEN ret > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,1) OVER w > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,2) OVER w > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,3) OVER w > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN LAG(ret,4) OVER w > 0 THEN 1 ELSE 0 END) AS npos
+                FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN rn >= 6 THEN
+                       sign(((((f4 * f3) * f2) * f1) * f0) - 1) * (nneg / 5.0 - npos / 5.0)
+                   END AS value_fip_momentum_5
+            FROM f
+        """,
+        "fin_qsmomentum": """
+            WITH r AS (
+                SELECT event_id, user_id, ts, value,
+                       value / LAG(value) OVER w - 1 AS ret,
+                       (LAG(value, 3) OVER w - LAG(value, 10) OVER w)
+                           / LAG(value, 10) OVER w AS slow_leg,
+                       (value - LAG(value, 3) OVER w) / LAG(value, 3) OVER w AS fast_leg,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), l AS (
+                SELECT event_id, user_id, slow_leg, fast_leg, rn,
+                       ret AS r0, LAG(ret,1) OVER w AS r1, LAG(ret,2) OVER w AS r2,
+                       LAG(ret,3) OVER w AS r3, LAG(ret,4) OVER w AS r4
+                FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), m AS (
+                SELECT event_id, user_id, slow_leg, fast_leg, rn,
+                       ((((r4 + r3) + r2) + r1) + r0) / 5.0 AS mu,
+                       r0, r1, r2, r3, r4
+                FROM l
+            ), v AS (
+                SELECT event_id, user_id, slow_leg, fast_leg, rn,
+                       sqrt((((((r4-mu)*(r4-mu) + (r3-mu)*(r3-mu)) + (r2-mu)*(r2-mu))
+                             + (r1-mu)*(r1-mu)) + (r0-mu)*(r0-mu)) / 5.0) AS vol
+                FROM m
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN rn >= 11 THEN (slow_leg - fast_leg) / vol END
+                       AS value_qsmom_3_10_5
+            FROM v
+        """,
+        "fin_risk": """
+            WITH r AS (
+                SELECT event_id, user_id, ts, value / LAG(value) OVER w - 1 AS ret,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), l AS (
+                SELECT event_id, user_id, rn,
+                       ret AS r0, LAG(ret,1) OVER w AS r1, LAG(ret,2) OVER w AS r2,
+                       LAG(ret,3) OVER w AS r3, LAG(ret,4) OVER w AS r4
+                FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), m AS (
+                SELECT event_id, user_id, rn, r0, r1, r2, r3, r4,
+                       ((((r4 + r3) + r2) + r1) + r0) / 5.0 AS mu,
+                       (CASE WHEN r4 < 0 THEN 1 ELSE 0 END + CASE WHEN r3 < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN r2 < 0 THEN 1 ELSE 0 END + CASE WHEN r1 < 0 THEN 1 ELSE 0 END
+                        + CASE WHEN r0 < 0 THEN 1 ELSE 0 END) AS cnt,
+                       ((((CASE WHEN r4 < 0 THEN r4 ELSE 0.0 END
+                           + CASE WHEN r3 < 0 THEN r3 ELSE 0.0 END)
+                          + CASE WHEN r2 < 0 THEN r2 ELSE 0.0 END)
+                         + CASE WHEN r1 < 0 THEN r1 ELSE 0.0 END)
+                        + CASE WHEN r0 < 0 THEN r0 ELSE 0.0 END) AS msum
+                FROM l
+            ), v AS (
+                SELECT event_id, user_id, rn, r0, r1, r2, r3, r4, mu, cnt,
+                       msum / cnt AS md
+                FROM m
+            ), s AS (
+                SELECT event_id, user_id, rn, mu, cnt,
+                       (((((r4-mu)*(r4-mu) + (r3-mu)*(r3-mu)) + (r2-mu)*(r2-mu))
+                        + (r1-mu)*(r1-mu)) + (r0-mu)*(r0-mu)) AS ss,
+                       ((((((r4-mu)*(r4-mu))*(r4-mu) + ((r3-mu)*(r3-mu))*(r3-mu))
+                          + ((r2-mu)*(r2-mu))*(r2-mu)) + ((r1-mu)*(r1-mu))*(r1-mu))
+                        + ((r0-mu)*(r0-mu))*(r0-mu)) AS m3s,
+                       ((((((r4-mu)*(r4-mu))*((r4-mu)*(r4-mu))
+                           + ((r3-mu)*(r3-mu))*((r3-mu)*(r3-mu)))
+                          + ((r2-mu)*(r2-mu))*((r2-mu)*(r2-mu)))
+                         + ((r1-mu)*(r1-mu))*((r1-mu)*(r1-mu)))
+                        + ((r0-mu)*(r0-mu))*((r0-mu)*(r0-mu))) AS m4s,
+                       ((((CASE WHEN r4 < 0 THEN (r4-md)*(r4-md) ELSE 0.0 END
+                           + CASE WHEN r3 < 0 THEN (r3-md)*(r3-md) ELSE 0.0 END)
+                          + CASE WHEN r2 < 0 THEN (r2-md)*(r2-md) ELSE 0.0 END)
+                         + CASE WHEN r1 < 0 THEN (r1-md)*(r1-md) ELSE 0.0 END)
+                        + CASE WHEN r0 < 0 THEN (r0-md)*(r0-md) ELSE 0.0 END) AS dss
+                FROM v
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN rn >= 6 THEN (mu / sqrt(ss / 4.0)) * sqrt(252.0) END
+                       AS value_sharpe_ratio_5,
+                   CASE WHEN rn >= 6 AND cnt >= 2
+                        THEN (mu / sqrt(dss / (cnt - 1))) * sqrt(252.0) END
+                       AS value_sortino_ratio_5,
+                   CASE WHEN rn >= 6 THEN sqrt(ss / 4.0) * sqrt(252.0) END
+                       AS value_volatility_annualized_5,
+                   CASE WHEN rn >= 6 THEN
+                       (sqrt(20.0)/3.0) * ((m3s/5.0) / ((ss/5.0) * sqrt(ss/5.0))) END
+                       AS value_skewness_5,
+                   CASE WHEN rn >= 6 THEN
+                       ((6.0 * (m4s/5.0 / ((ss/5.0) * (ss/5.0)) - 3.0) + 6.0) * 4.0)
+                           / (3.0 * 2.0) END
+                       AS value_kurtosis_5
+            FROM s
+        """,
+        "fin_hurst": """
+            WITH r AS (
+                SELECT event_id, user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ), pairs AS (
+                SELECT a.event_id, a.user_id, a.rn AS t, b.rn AS i, b.value
+                FROM r a JOIN r b
+                  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+                WHERE a.rn >= 20
+            ), mu AS (
+                SELECT event_id, t, AVG(value) AS m FROM pairs GROUP BY event_id, t
+            ), dev AS (
+                SELECT p.event_id, p.t, mu.m,
+                       SUM(p.value - mu.m) OVER
+                           (PARTITION BY p.event_id, p.t ORDER BY p.i) AS cum,
+                       (p.value - mu.m) * (p.value - mu.m) AS sq
+                FROM pairs p JOIN mu ON p.event_id = mu.event_id AND p.t = mu.t
+            ), rs AS (
+                SELECT event_id, MAX(cum) - MIN(cum) AS rng,
+                       sqrt(SUM(sq) / 20.0) AS s
+                FROM dev GROUP BY event_id, t
+            )
+            SELECT r.event_id, r.user_id,
+                   ROUND(ln(NULLIF(rs.rng, 0) / NULLIF(rs.s, 0)) / ln(20.0), 6)
+                       AS value_hurst_20
+            FROM r LEFT JOIN rs ON r.event_id = rs.event_id
+        """,
+        "fin_adx": """
+            WITH RECURSIVE hlc AS (
+                SELECT event_id, user_id, ts, value AS c,
+                       value + 1.5 AS h, value - 2.5 AS l,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ), base AS (
+                SELECT event_id, user_id, rn,
+                       CASE WHEN rn = 1 THEN h - l
+                            ELSE GREATEST(h - l, ABS(h - LAG(c) OVER w),
+                                          ABS(l - LAG(c) OVER w)) END AS tr,
+                       CASE WHEN rn = 1 THEN 0.0
+                            WHEN (h - LAG(h) OVER w) > (LAG(l) OVER w - l)
+                                 THEN GREATEST(h - LAG(h) OVER w, 0.0) ELSE 0.0 END AS pdm,
+                       CASE WHEN rn = 1 THEN 0.0
+                            WHEN (LAG(l) OVER w - l) > (h - LAG(h) OVER w)
+                                 THEN GREATEST(LAG(l) OVER w - l, 0.0) ELSE 0.0 END AS mdm
+                FROM hlc WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), rr AS (
+                SELECT event_id, user_id, rn, tr AS st, pdm AS sp, mdm AS sm,
+                       CAST(NULL AS DOUBLE) AS adx
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.event_id, b.user_id, b.rn,
+                       (1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr,
+                       (1.0 - 1.0/14.0) * rr.sp + (1.0/14.0) * b.pdm,
+                       (1.0 - 1.0/14.0) * rr.sm + (1.0/14.0) * b.mdm,
+                       CASE WHEN b.rn < 14 THEN NULL
+                            WHEN b.rn = 14 THEN
+                                100.0 * ABS(100.0 * ((1.0 - 1.0/14.0) * rr.sp + (1.0/14.0) * b.pdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr)
+                                            - 100.0 * ((1.0 - 1.0/14.0) * rr.sm + (1.0/14.0) * b.mdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr))
+                                      / (100.0 * ((1.0 - 1.0/14.0) * rr.sp + (1.0/14.0) * b.pdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr)
+                                         + 100.0 * ((1.0 - 1.0/14.0) * rr.sm + (1.0/14.0) * b.mdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr))
+                            ELSE (1.0 - 1.0/14.0) * rr.adx + (1.0/14.0) *
+                                (100.0 * ABS(100.0 * ((1.0 - 1.0/14.0) * rr.sp + (1.0/14.0) * b.pdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr)
+                                             - 100.0 * ((1.0 - 1.0/14.0) * rr.sm + (1.0/14.0) * b.mdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr))
+                                       / (100.0 * ((1.0 - 1.0/14.0) * rr.sp + (1.0/14.0) * b.pdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr)
+                                          + 100.0 * ((1.0 - 1.0/14.0) * rr.sm + (1.0/14.0) * b.mdm) / ((1.0 - 1.0/14.0) * rr.st + (1.0/14.0) * b.tr))) END
+                FROM rr JOIN base b ON b.user_id = rr.user_id AND b.rn = rr.rn + 1
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN rn >= 14 THEN 100.0 * sp / st END AS value_plus_di_14,
+                   CASE WHEN rn >= 14 THEN 100.0 * sm / st END AS value_minus_di_14,
+                   CASE WHEN rn >= 27 THEN adx END AS value_adx_14
+            FROM rr
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -55,6 +55,21 @@ def _op(ds, group_keys, order_by, kernel, num_partitions=DEFAULT_NUM_PARTITIONS)
     )
 
 
+def _windows(x: np.ndarray, w: int):
+    """(n-w+1, w) sliding view over the partition-wide array, oldest-first.
+    Zero-copy (stride trick); callers chunk the arithmetic that materializes.
+    Windows that span a group boundary must be invalidated by the caller —
+    either via the leading-NaN of per-group diffs/returns (NaN propagates),
+    or with an explicit ``same_group`` mask for raw-value windows."""
+    return np.lib.stride_tricks.sliding_window_view(x, w)
+
+
+def _chunked_rows(n_windows: int, w: int, max_elems: int = 1 << 22):
+    """Row-chunk bounds so each materialized (chunk, w) temp stays ~32 MB."""
+    step = max(1, max_elems // max(w, 1))
+    return [(i, min(i + step, n_windows)) for i in range(0, n_windows, step)]
+
+
 def augment_rsi(ds: rd.Dataset, group_keys, order_by, close_column: str,
                 periods=14, **kw) -> rd.Dataset:
     ps = _periods(periods)
@@ -231,19 +246,33 @@ def augment_roc(ds: rd.Dataset, group_keys, order_by, close_column: str,
 def augment_qsmomentum(ds: rd.Dataset, group_keys, order_by, close_column: str,
                        roc_fast_period=21, roc_slow_period=252,
                        returns_period=126, **kw) -> rd.Dataset:
+    """Quant-Science momentum (reference qsmomentum.py:46-99).  The return
+    volatility is an explicit two-pass population std over each window
+    (left-fold sums, oldest first) rather than pandas' online rolling std —
+    numerically equivalent at ~1e-15 and bit-reproducible by the DuckDB
+    oracle's LAG-chain formulation."""
     f, s, r = roc_fast_period, roc_slow_period, returns_period
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(list(group_keys), sort=False, group_keys=False)[close_column]
-        gcodes = part.groupby(list(group_keys), sort=False).ngroup()
         c = part[close_column]
         slow_leg = (g.shift(f) - g.shift(s)) / g.shift(s)
         fast_leg = (c - g.shift(f)) / g.shift(f)
-        rets = g.pct_change(fill_method=None)
-        vol = rets.groupby(gcodes).rolling(r).std(ddof=0).reset_index(drop=True)
-        part[f"{close_column}_qsmom_{f}_{s}_{r}"] = (
-            (slow_leg - fast_leg) / vol
-        ).to_numpy()
+        rets = g.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+        n = len(rets)
+        vol = np.full(n, np.nan)
+        if n >= r:
+            win = _windows(rets, r)  # group-lead NaN rets invalidate crossers
+            with np.errstate(all="ignore"):
+                for a, b in _chunked_rows(len(win), r):
+                    wv = win[a:b]
+                    mu = wv.sum(axis=1) / r
+                    d = wv - mu[:, None]
+                    vol[r - 1 + a : r - 1 + b] = np.sqrt((d * d).sum(axis=1) / r)
+        with np.errstate(all="ignore"):
+            part[f"{close_column}_qsmom_{f}_{s}_{r}"] = (
+                (slow_leg - fast_leg).to_numpy() / vol
+            )
         return part
 
     return _op(ds, group_keys, order_by, kernel, **kw)
@@ -310,20 +339,34 @@ def augment_ewma_volatility(ds: rd.Dataset, group_keys, order_by,
 
 def augment_fip_momentum(ds: rd.Dataset, group_keys, order_by,
                          close_column: str, window=252, **kw) -> rd.Dataset:
+    """Frog-in-pan momentum (reference fip_momentum.py:318-328):
+    sign(prod(1+r) - 1) * (%neg - %pos) over each full return window.
+    Vectorized sliding windows (left-fold product, oldest first) replace the
+    reference's three per-window rolling.apply loops; bit-identical to them
+    for full windows, and bit-reproducible by the oracle's LAG-chain SQL."""
     ws = _periods(window)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(list(group_keys), sort=False, group_keys=False)[close_column]
-        rets = g.pct_change(fill_method=None)
-        gcodes = part.groupby(list(group_keys), sort=False).ngroup()
+        rets = g.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+        n = len(rets)
         for w in ws:
-            roll = rets.groupby(gcodes).rolling(w)
-            pct_neg = roll.apply(lambda x: (x < 0).mean(), raw=True).reset_index(drop=True)
-            pct_pos = roll.apply(lambda x: (x > 0).mean(), raw=True).reset_index(drop=True)
-            total = roll.apply(lambda x: np.prod(1 + x) - 1, raw=True).reset_index(drop=True)
-            part[f"{close_column}_fip_momentum_{w}"] = (
-                np.sign(total) * (pct_neg - pct_pos)
-            ).to_numpy()
+            out = np.full(n, np.nan)
+            if n >= w:
+                win = _windows(rets, w)
+                with np.errstate(all="ignore"):
+                    for a, b in _chunked_rows(len(win), w):
+                        wv = win[a:b]
+                        # inf returns (price hitting zero) count as missing,
+                        # matching pandas rolling's internal inf->NaN coercion
+                        invalid = ~np.isfinite(wv).all(axis=1)
+                        pct_neg = (wv < 0).sum(axis=1) / float(w)
+                        pct_pos = (wv > 0).sum(axis=1) / float(w)
+                        total = (1.0 + wv).prod(axis=1) - 1.0
+                        res = np.sign(total) * (pct_neg - pct_pos)
+                        res[invalid] = np.nan
+                        out[w - 1 + a : w - 1 + b] = res
+            part[f"{close_column}_fip_momentum_{w}"] = out
         return part
 
     return _op(ds, group_keys, order_by, kernel, **kw)
@@ -331,26 +374,35 @@ def augment_fip_momentum(ds: rd.Dataset, group_keys, order_by,
 
 def augment_hurst_exponent(ds: rd.Dataset, group_keys, order_by,
                            close_column: str, window=100, **kw) -> rd.Dataset:
+    """Rolling rescaled-range Hurst exponent log(R/S)/log(n)
+    (reference hurst_exponent.py:279,406), vectorized over sliding windows
+    (two-pass mean/std, per-window cumulative deviation) instead of a
+    per-window rolling.apply loop.  Raw-value windows don't self-invalidate
+    at group boundaries, so crossers are masked explicitly."""
     ws = _periods(window)
 
-    def _hurst(x: np.ndarray) -> float:
-        n = len(x)
-        mean = x.mean()
-        dev = np.cumsum(x - mean)
-        r = dev.max() - dev.min()
-        s = x.std(ddof=0)
-        if s == 0 or r == 0:
-            return np.nan
-        return float(np.log(r / s) / np.log(n))
-
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
-        gcodes = part.groupby(list(group_keys), sort=False).ngroup()
-        s = part[close_column]
+        gcodes = part.groupby(list(group_keys), sort=False).ngroup().to_numpy()
+        vals = part[close_column].to_numpy(dtype=np.float64)
+        n = len(vals)
         for w in ws:
-            part[f"{close_column}_hurst_{w}"] = (
-                s.groupby(gcodes).rolling(w).apply(_hurst, raw=True)
-                .reset_index(drop=True).to_numpy()
-            )
+            out = np.full(n, np.nan)
+            if n >= w:
+                win = _windows(vals, w)
+                same_group = gcodes[w - 1 :] == gcodes[: n - w + 1]
+                logn = np.log(w)
+                with np.errstate(all="ignore"):
+                    for a, b in _chunked_rows(len(win), w):
+                        wv = win[a:b]
+                        mu = wv.mean(axis=1)
+                        d = wv - mu[:, None]
+                        dev = np.cumsum(d, axis=1)
+                        rng = dev.max(axis=1) - dev.min(axis=1)
+                        s = np.sqrt((d * d).mean(axis=1))
+                        h = np.log(rng / s) / logn
+                        h[(s == 0) | (rng == 0) | ~same_group[a:b]] = np.nan
+                        out[w - 1 + a : w - 1 + b] = h
+            part[f"{close_column}_hurst_{w}"] = out
         return part
 
     return _op(ds, group_keys, order_by, kernel, **kw)
@@ -360,25 +412,64 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
                                  close_column: str, window=252,
                                  risk_free_rate=0.0, trading_days=252,
                                  **kw) -> rd.Dataset:
+    """Rolling Sharpe/Sortino/vol/skew/kurt over full return windows
+    (reference rolling_risk_metrics.py:436-482).  All five are explicit
+    two-pass sliding-window formulas (left-fold sums, oldest first; sample
+    skewness/excess-kurtosis with the standard bias corrections) instead of
+    pandas' online rolling kernels — numerically equivalent at ~1e-15 and
+    bit-reproducible by the DuckDB oracle's LAG-chain SQL.  Sortino's
+    downside std spans only the window's negative returns (sample ddof=1,
+    NaN when fewer than two), matching the reference's
+    ``rets.where(rets<0).rolling(w, min_periods=1).std()``."""
     w = window
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(list(group_keys), sort=False, group_keys=False)[close_column]
-        rets = g.pct_change(fill_method=None)
-        gcodes = part.groupby(list(group_keys), sort=False).ngroup()
-        roll = rets.groupby(gcodes).rolling(w)
-        mean = roll.mean().reset_index(drop=True)
-        std = roll.std().reset_index(drop=True)
-        downside = rets.where(rets < 0)
-        dstd = downside.groupby(gcodes).rolling(w, min_periods=1).std().reset_index(drop=True)
+        rets = g.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+        n = len(rets)
         ann = np.sqrt(trading_days)
         rf = risk_free_rate / trading_days
         c = close_column
-        part[f"{c}_sharpe_ratio_{w}"] = ((mean - rf) / std * ann).to_numpy()
-        part[f"{c}_sortino_ratio_{w}"] = ((mean - rf) / dstd * ann).to_numpy()
-        part[f"{c}_volatility_annualized_{w}"] = (std * ann).to_numpy()
-        part[f"{c}_skewness_{w}"] = roll.skew().reset_index(drop=True).to_numpy()
-        part[f"{c}_kurtosis_{w}"] = roll.kurt().reset_index(drop=True).to_numpy()
+        cols = {
+            f"{c}_sharpe_ratio_{w}": np.full(n, np.nan),
+            f"{c}_sortino_ratio_{w}": np.full(n, np.nan),
+            f"{c}_volatility_annualized_{w}": np.full(n, np.nan),
+            f"{c}_skewness_{w}": np.full(n, np.nan),
+            f"{c}_kurtosis_{w}": np.full(n, np.nan),
+        }
+        if n >= w:
+            win = _windows(rets, w)  # group-lead NaN rets invalidate crossers
+            fw = float(w)
+            skew_c = np.sqrt(fw * (fw - 1.0)) / (fw - 2.0)
+            with np.errstate(all="ignore"):
+                for a, b in _chunked_rows(len(win), w):
+                    wv = win[a:b]
+                    sl = slice(w - 1 + a, w - 1 + b)
+                    mu = wv.sum(axis=1) / fw
+                    d = wv - mu[:, None]
+                    d2 = d * d
+                    ss = d2.sum(axis=1)
+                    std = np.sqrt(ss / (fw - 1.0))
+                    cols[f"{c}_sharpe_ratio_{w}"][sl] = (mu - rf) / std * ann
+                    cols[f"{c}_volatility_annualized_{w}"][sl] = std * ann
+                    # downside (negative-return) sample std, >=2 obs
+                    neg = wv < 0
+                    cnt = neg.sum(axis=1)
+                    md = (wv * neg).sum(axis=1) / cnt
+                    dd = wv - md[:, None]
+                    dstd = np.sqrt(((dd * dd) * neg).sum(axis=1) / (cnt - 1))
+                    dstd[cnt < 2] = np.nan
+                    cols[f"{c}_sortino_ratio_{w}"][sl] = (mu - rf) / dstd * ann
+                    m2 = ss / fw
+                    m3 = (d2 * d).sum(axis=1) / fw
+                    m4 = (d2 * d2).sum(axis=1) / fw
+                    cols[f"{c}_skewness_{w}"][sl] = skew_c * (m3 / (m2 * np.sqrt(m2)))
+                    g2 = m4 / (m2 * m2) - 3.0
+                    cols[f"{c}_kurtosis_{w}"][sl] = (
+                        ((fw + 1.0) * g2 + 6.0) * (fw - 1.0)
+                    ) / ((fw - 2.0) * (fw - 3.0))
+        for name, arr in cols.items():
+            part[name] = arr
         return part
 
     return _op(ds, group_keys, order_by, kernel, **kw)
