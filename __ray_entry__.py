@@ -344,6 +344,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return jaccard_allpairs(_docs(sf_dir), threshold=0.2)
 
+    def dedup_jaccard_dfcut(sf_dir):
+        # same inverted index with the hot-shingle df-cut ON: shingles shared
+        # by > 40 docs are dropped before pair generation, and set sizes count
+        # only surviving shingles — mirrored by the oracle's HAVING df <= 40
+        from pytimetk_ray.pipelines.dedup import jaccard_allpairs
+
+        return jaccard_allpairs(_docs(sf_dir), threshold=0.2, max_doc_freq=40)
+
     def dedup_clusters(sf_dir):
         # transitive duplicate clusters over the EXACT-Jaccard pair graph;
         # SQL oracle = recursive reachability closure + min reachable id
@@ -837,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_jaccard_dfcut": dedup_jaccard_dfcut,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1118,6 +1127,37 @@ def oracle_sql() -> dict[str, str]:
             ), inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
                 FROM shd a JOIN shd b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+        """,
+        "dedup_jaccard_dfcut": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+                UNION
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM w WHERE len(ws) < 3 AND len(ws) > 0
+            ), shd AS (
+                SELECT DISTINCT doc_id, shingle FROM sh
+            ), surv AS (
+                SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 40
+            ), shk AS (
+                SELECT doc_id, shingle FROM shd JOIN surv USING (shingle)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM shk a JOIN shk b USING (shingle)
                 WHERE a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )

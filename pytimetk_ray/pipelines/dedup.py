@@ -3,20 +3,24 @@ embedding-cosine near-dup.
 
 Scale shapes (the ray_guide patterns, re-derived for this engine):
 
-- exact: content-hash per batch (vectorized) -> ``groupby(hash)`` ->
-  keep min id per group.  One all-to-all keyed exchange on the hash.
+- exact: content-hash per batch (vectorized) -> hash-partition by hash ->
+  vectorized ``drop_duplicates`` per partition (many hash groups per task;
+  NO per-group Python calls, NO Ray sort shuffle — see exec.py rationale).
 - MinHash-LSH: shingle+minhash per batch -> explode to (band_id, band_hash,
-  doc_id) rows -> ``groupby(band)`` -> candidate pairs inside each bucket ->
-  verify with signature-estimated Jaccard.  Sketches are per-row and tiny;
-  the shuffle carries (bands x docs) short rows, never text.
-- SimHash: 64-bit signature, banded into 4x16-bit keys -> bucket groupby ->
-  Hamming-verified pairs.
+  doc_id) rows -> hash-partition by band key -> candidate pairs per bucket
+  segment inside each partition task -> verify with signature-estimated
+  Jaccard.  Sketches are per-row and tiny; the shuffle carries
+  (bands x docs) short rows, never text.
+- SimHash: 64-bit signature, banded into 4x16-bit keys -> bucketed pairs as
+  above -> Hamming-verified.
 - embedding near-dup: see pipelines/similarity.py (cosine >= threshold).
+- connected components: distributed min-label propagation with pointer
+  jumping — every round is keyed co-partition merges + a scalar checksum;
+  NOTHING (neither labels nor edges) is ever materialized on the driver.
 
 Duplicate-pair output convention: (id_a < id_b) pairs, deterministic.  The
 "keep set" drops any doc paired with a smaller id — for full transitive
-clustering run min-label propagation over the pair list (iterative groupby),
-which the pair table feeds directly.
+clustering run ``dedup_components`` over the pair list.
 """
 
 from __future__ import annotations
@@ -26,13 +30,32 @@ import pandas as pd
 
 import ray.data as rd
 
+from pytimetk_ray.exec import partitioned_group_map
 from pytimetk_ray.kernels import text as tx
+
+DEDUP_PARTITIONS = 32
+
+
+def _empty_pairs(value_col: str, value_dtype=np.float64) -> pd.DataFrame:
+    return pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        value_col: pd.Series([], dtype=value_dtype),
+    })
 
 
 # --- exact ------------------------------------------------------------------
 
-def exact_dedup(ds: rd.Dataset, *, text_column: str = "text", id_column: str = "doc_id") -> rd.Dataset:
-    """Keep the smallest id per distinct text (hash-partitioned)."""
+def exact_dedup(ds: rd.Dataset, *, text_column: str = "text",
+                id_column: str = "doc_id",
+                num_partitions: int = DEDUP_PARTITIONS) -> rd.Dataset:
+    """Keep the smallest id per distinct text.
+
+    Hash-partition by content hash, then ONE vectorized
+    ``drop_duplicates(keep="first")`` over the id-sorted partition — every
+    hash group is wholly inside one task, so "first" is the global min id.
+    No per-group Python calls (a 1-row-group ``map_groups`` would pay one
+    interpreter call per distinct document)."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -42,37 +65,39 @@ def exact_dedup(ds: rd.Dataset, *, text_column: str = "text", id_column: str = "
             }
         )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_column: [g[id_column].min()]})
+    def keep_min(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates("__h__", keep="first")[[id_column]]
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("__h__")
-        .map_groups(first, batch_format="pandas")
+    return partitioned_group_map(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        ["__h__"], keep_min, sort_by=["__h__", id_column],
+        num_partitions=num_partitions,
     )
 
 
 def exact_dedup_rows(ds: rd.Dataset, *, text_column: str = "text",
-                     id_column: str = "doc_id") -> rd.Dataset:
+                     id_column: str = "doc_id",
+                     num_partitions: int = DEDUP_PARTITIONS) -> rd.Dataset:
     """Exact dedup returning the SURVIVING FULL ROWS (min id per text).
 
     Unlike ``exact_dedup`` (ids only), this shuffles whole rows by content
     hash and keeps one per group — no driver-side keep-set, so it holds at
     100 TB where the keep-set itself would be billions of ids.  The exchange
-    carries each row once."""
+    carries each row once; the per-partition kernel is one vectorized
+    ``drop_duplicates`` over thousands of hash groups."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__h__"] = tx.md5_fingerprint(batch[text_column].tolist())
         return batch
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_column, kind="mergesort").head(1).drop(columns="__h__")
+    def keep_min(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates("__h__", keep="first").drop(columns="__h__")
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("__h__")
-        .map_groups(keep_min, batch_format="pandas")
+    return partitioned_group_map(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        ["__h__"], keep_min, sort_by=["__h__", id_column],
+        num_partitions=num_partitions,
     )
 
 
@@ -88,10 +113,16 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    num_partitions: int = DEDUP_PARTITIONS,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
 
-    Output: (id_a, id_b, est_jaccard), id_a < id_b, deduplicated."""
+    Output: (id_a, id_b, est_jaccard), id_a < id_b, deduplicated.  Bucket
+    pair generation runs as a segment loop over each hash partition (many
+    buckets per task, typical bucket size 1-2); the cross-band pair dedup is
+    one vectorized ``drop_duplicates`` per (id_a,)-keyed partition — the
+    estimated Jaccard of a pair is band-independent (computed from the full
+    signature), so keeping any one surfaced row is deterministic."""
     a, b = tx.minhash_params(num_perm, seed)
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -107,89 +138,198 @@ def minhash_lsh_pairs(
                 sigs.append(sig.tobytes())
         return pd.DataFrame(
             {
-                id_column: ids,
+                id_column: np.array(ids, dtype=np.int64),
                 "band_id": np.array(bands, dtype=np.int64),
-                "band_hash": np.array(band_hashes, dtype=np.uint64),
+                "band_hash": np.array(band_hashes, dtype=np.uint64).astype(np.int64),
                 "sig": sigs,
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_column, kind="mergesort").drop_duplicates(id_column)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = g[id_column].to_numpy()
-        S = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])  # (n, perm)
-        # vectorized pairwise signature-match fraction (buckets are small)
-        eq = (S[:, None, :] == S[None, :, :]).mean(axis=2)
-        iu = np.triu_indices(n, k=1)
-        ej = eq[iu]
-        mask = ej >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[0][mask]], "id_b": ids[iu[1][mask]], "est_jaccard": ej[mask]}
-        )
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return _empty_pairs("est_jaccard")
+        bid = part["band_id"].to_numpy()
+        bh = part["band_hash"].to_numpy()
+        ids = part[id_column].to_numpy()
+        sig_col = part["sig"].to_numpy()
+        change = np.empty(len(part), dtype=bool)
+        change[0] = True
+        np.logical_or(bid[1:] != bid[:-1], bh[1:] != bh[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(part))
+        ra, rb, rj = [], [], []
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]  # ascending (sort_by includes id)
+            keep = np.r_[True, seg_ids[1:] != seg_ids[:-1]]
+            seg_ids = seg_ids[keep]
+            n = len(seg_ids)
+            if n < 2:
+                continue
+            S = np.stack([np.frombuffer(s, dtype=np.uint64)
+                          for s in sig_col[lo:hi][keep]])
+            eq = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            iu = np.triu_indices(n, k=1)
+            ej = eq[iu]
+            mask = ej >= threshold
+            ra.append(seg_ids[iu[0][mask]])
+            rb.append(seg_ids[iu[1][mask]])
+            rj.append(ej[mask])
+        if not ra:
+            return _empty_pairs("est_jaccard")
+        return pd.DataFrame({
+            "id_a": np.concatenate(ra).astype(np.int64),
+            "id_b": np.concatenate(rb).astype(np.int64),
+            "est_jaccard": np.concatenate(rj),
+        })
 
-    pairs = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = partitioned_group_map(
+        ds.map_batches(sketch, batch_format="pandas"),
+        ["band_id", "band_hash"], bucket_pairs,
+        sort_by=["band_id", "band_hash", id_column],
+        num_partitions=num_partitions,
     )
+    return _dedup_pairs(pairs, num_partitions)
 
-    # same pair can surface from multiple bands -> dedup on (id_a, id_b)
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+def _dedup_pairs(pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Cross-band pair dedup: (id_a)-keyed partition, one vectorized
+    ``drop_duplicates(["id_a","id_b"])`` per task (the duplicate rows of a
+    pair are identical across bands, so any survivor is deterministic)."""
+    return partitioned_group_map(
+        pairs, ["id_a"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]),
+        sort_by=["id_a", "id_b"], num_partitions=num_partitions,
+    )
 
 
 # --- connected components over dup pairs ------------------------------------
 
+_KIND = "__kind__"
+
+
 def dedup_components(pairs: rd.Dataset, *, id_column: str = "doc_id",
-                     max_rounds: int = 10) -> rd.Dataset:
-    """Transitive duplicate clusters via iterative min-label propagation.
+                     max_rounds: int = 10,
+                     num_partitions: int = DEDUP_PARTITIONS,
+                     single_task_max_edges: int = 2_000_000) -> rd.Dataset:
+    """Transitive duplicate clusters via DISTRIBUTED min-label propagation.
 
     Input: (id_a, id_b) pair rows.  Output: (doc_id, cluster_id) where
-    cluster_id = min doc id reachable through the pair graph.  Each round is
-    one groupby (label <- min over neighborhood); converges in O(diameter)
-    rounds — pair graphs from LSH dedup have tiny components, so a handful
-    of rounds suffices (``max_rounds`` caps pathological chains)."""
-    import pandas as pd
+    cluster_id = min doc id reachable through the pair graph.
+
+    Every round stays on the cluster — TWO keyed co-partition passes:
+    (1) one merge pass answers both lookups at once — each node forwards its
+    current label to every neighbor (edge requests keyed by sender) AND each
+    label pointer-jumps one hop (labels re-keyed by their label value — the
+    doubling trick that makes convergence O(log diameter) instead of
+    O(diameter)); (2) labels <- min over {self, neighbor messages, jumped
+    label} with one keyed vectorized groupby-min.  The driver only ever sees
+    a scalar checksum: min-label updates are monotone decreasing, so
+    sum(label) is a fixpoint detector (equal sum <=> no label changed; ids
+    must not overflow int64 in aggregate — true for any realistic id space).
+    Label/edge tables are materialized per round in the OBJECT STORE (the
+    iteration needs a barrier), never collected.  Partition count adapts to
+    the (known after materialize) edge count so tiny dup graphs don't pay
+    64-task shuffle overhead per round, while 100 TB graphs spread fully."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": np.concatenate([batch["id_a"].to_numpy(), batch["id_b"].to_numpy()]),
-                "nbr": np.concatenate([batch["id_b"].to_numpy(), batch["id_a"].to_numpy()]),
-            }
-        )
+        a = batch["id_a"].to_numpy(np.int64)
+        b = batch["id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
 
-    edges = pairs.map_batches(explode, batch_format="pandas")
+    edges = pairs.map_batches(explode, batch_format="pandas").materialize()
+    n_edges = edges.count()
 
-    def min_label(g: pd.DataFrame) -> pd.DataFrame:
-        lab = min(g["node"].iloc[0], g["lbl"].min())
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [lab]})
+    if n_edges <= single_task_max_edges:
+        # Small-graph fast path: the whole (symmetric) edge list fits one
+        # WORKER task — run vectorized min-label propagation with pointer
+        # jumping inside it.  Still never on the driver; a dup graph above
+        # the gate takes the distributed rounds below.  Per-round shuffle
+        # fixed costs (~seconds each) would otherwise dominate tiny graphs.
+        def local_cc(part: pd.DataFrame) -> pd.DataFrame:
+            u = part["node"].to_numpy(np.int64)
+            v = part["nbr"].to_numpy(np.int64)
+            nodes, inv = np.unique(u, return_inverse=True)  # symmetric: u has all
+            vi = np.searchsorted(nodes, v)
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                old = lab.copy()
+                np.minimum.at(lab, inv, lab[vi])
+                while True:  # pointer-jump to per-round fixpoint
+                    l2 = lab[lab]
+                    if np.array_equal(l2, lab):
+                        break
+                    lab = l2
+                if np.array_equal(lab, old):
+                    break
+            return pd.DataFrame({id_column: nodes, "cluster_id": nodes[lab]})
 
-    # labels start as the node ids themselves, propagated over neighbors
-    labels = (
-        edges.map_batches(
-            lambda b: pd.DataFrame({"node": b["node"], "lbl": b["nbr"]}),
-            batch_format="pandas",
-        )
-        .groupby("node")
-        .map_groups(min_label, batch_format="pandas")
-    )
+        return partitioned_group_map(edges, [], local_cc, sort_by=None,
+                                     num_partitions=1)
+
+    P = max(1, min(num_partitions, n_edges // 2000 + 1))
+
+    def init_labels(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", as_index=False)["nbr"].min()
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(np.int64),
+            "label": np.minimum(g["node"].to_numpy(np.int64),
+                                g["nbr"].to_numpy(np.int64)),
+        })
+
+    labels = partitioned_group_map(
+        edges, ["node"], init_labels, sort_by=["node"], num_partitions=P,
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    # request rows: k = join key (label-table node to look up), p = receiver
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["node"].astype(np.int64),
+                             "p": b["nbr"].astype(np.int64),
+                             "label": np.int64(-1), _KIND: np.int8(0)})
+
+    def tag_jump(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["label"].astype(np.int64),
+                             "p": b["node"].astype(np.int64),
+                             "label": np.int64(-1), _KIND: np.int8(0)})
+
+    def tag_lab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["node"].astype(np.int64),
+                             "p": np.int64(-1),
+                             "label": b["label"].astype(np.int64),
+                             _KIND: np.int8(1)})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        kind = part[_KIND].to_numpy()
+        lab = part.loc[kind == 1, ["k", "label"]]
+        req = part.loc[kind == 0, ["k", "p"]]
+        m = req.merge(lab.rename(columns={"label": "l2"}), on="k", how="inner")
+        return pd.DataFrame({"node": m["p"].to_numpy(np.int64),
+                             "label": m["l2"].to_numpy(np.int64)})
+
+    def reduce_min(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("node", as_index=False)["label"].min()
+
     for _ in range(max_rounds - 1):
-        labels_pdf = labels.to_pandas()  # small: only duplicate nodes
-        lab_map = dict(zip(labels_pdf["node"], labels_pdf["label"]))
-        nxt = {n: min(l, lab_map.get(l, l)) for n, l in lab_map.items()}
-        if nxt == lab_map:
-            break
-        labels = rd.from_pandas(
-            pd.DataFrame({"node": list(nxt), "label": list(nxt.values())})
+        tagged = (
+            edges.map_batches(tag_edges, batch_format="pandas")
+            .union(labels.map_batches(tag_jump, batch_format="pandas"))
+            .union(labels.map_batches(tag_lab, batch_format="pandas"))
         )
+        msgs = partitioned_group_map(tagged, ["k"], merge, sort_by=["k"],
+                                     num_partitions=P)
+        labels = partitioned_group_map(
+            labels.union(msgs), ["node"], reduce_min,
+            sort_by=["node"], num_partitions=P,
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
     return labels.map_batches(
         lambda b: pd.DataFrame({id_column: b["node"], "cluster_id": b["label"]}),
         batch_format="pandas",
@@ -204,9 +344,11 @@ def simhash_pairs(
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
+    num_partitions: int = DEDUP_PARTITIONS,
 ) -> rd.Dataset:
     """Near-dup pairs by 64-bit SimHash, banded 4x16 bits (any pair within
-    Hamming distance 3 shares at least one exact 16-bit band)."""
+    Hamming distance 3 shares at least one exact 16-bit band).  Same
+    partitioned bucket-segment shape as MinHash."""
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         ids, bands, keys, hashes = [], [], [], []
@@ -219,75 +361,151 @@ def simhash_pairs(
                 hashes.append(h)
         return pd.DataFrame(
             {
-                id_column: ids,
+                id_column: np.array(ids, dtype=np.int64),
                 "band_id": np.array(bands, dtype=np.int64),
                 "band_key": np.array(keys, dtype=np.int64),
-                "simhash": np.array(hashes, dtype=np.uint64),
+                "simhash": np.array(hashes, dtype=np.uint64).astype(np.int64),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_column, kind="mergesort").drop_duplicates(id_column)
-        ids = g[id_column].to_numpy()
-        hs = g["simhash"].to_numpy()
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return _empty_pairs("hamming", np.int64)
+        bid = part["band_id"].to_numpy()
+        bk = part["band_key"].to_numpy()
+        ids = part[id_column].to_numpy()
+        hs = part["simhash"].to_numpy().astype(np.uint64)
+        change = np.empty(len(part), dtype=bool)
+        change[0] = True
+        np.logical_or(bid[1:] != bid[:-1], bk[1:] != bk[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(part))
         ra, rb, rh = [], [], []
-        for i in range(len(g)):
-            d = tx.hamming64(np.full(len(g) - i - 1, hs[i]), hs[i + 1 :])
-            for off in np.flatnonzero(d <= max_hamming):
-                ra.append(ids[i])
-                rb.append(ids[i + 1 + off])
-                rh.append(int(d[off]))
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]
+            keep = np.r_[True, seg_ids[1:] != seg_ids[:-1]]
+            seg_ids = seg_ids[keep]
+            seg_hs = hs[lo:hi][keep]
+            n = len(seg_ids)
+            if n < 2:
+                continue
+            iu = np.triu_indices(n, k=1)
+            d = tx.hamming64(seg_hs[iu[0]], seg_hs[iu[1]])
+            mask = d <= max_hamming
+            ra.append(seg_ids[iu[0][mask]])
+            rb.append(seg_ids[iu[1][mask]])
+            rh.append(d[mask])
+        if not ra:
+            return _empty_pairs("hamming", np.int64)
+        return pd.DataFrame({
+            "id_a": np.concatenate(ra).astype(np.int64),
+            "id_b": np.concatenate(rb).astype(np.int64),
+            "hamming": np.concatenate(rh).astype(np.int64),
+        })
 
-    pairs = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = partitioned_group_map(
+        ds.map_batches(sketch, batch_format="pandas"),
+        ["band_id", "band_key"], bucket_pairs,
+        sort_by=["band_id", "band_key", id_column],
+        num_partitions=num_partitions,
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, num_partitions)
 
 
 # --- exact n-gram Jaccard verification --------------------------------------
 
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
-    candidate_pairs: pd.DataFrame,
+    candidate_pairs: pd.DataFrame | rd.Dataset,
     *,
     text_column: str = "text",
     id_column: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    num_partitions: int = DEDUP_PARTITIONS,
 ) -> pd.DataFrame:
-    """Exact Jaccard over word-shingle sets for candidate pairs.
-
-    The candidate set is small (LSH already pruned), so texts for the pair
-    ids are fetched with a pushdown filter and verified driver-side.  At
-    100 TB the same verify runs as a hash-partition join of pairs->texts on
-    id (both sides keyed by doc id)."""
-    need = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
-    if need:
-        need_arr = np.fromiter(need, dtype=np.int64, count=len(need))
-
-        def pick(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch[id_column].isin(need_arr)][[id_column, text_column]]
-
-        small = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    """Exact Jaccard over word-shingle sets for candidate pairs — the
+    join-based scale path: docs are reduced to sorted shingle-hash arrays
+    once, then candidate pairs pick up each side's set via two keyed
+    co-partition merges (pairs ⋈ sets on id_a, then on id_b).  Neither the
+    texts nor the sets ever gather on the driver; only the verified pair
+    rows (small by construction — LSH already pruned) are returned."""
+    if isinstance(candidate_pairs, pd.DataFrame):
+        if len(candidate_pairs) == 0:
+            return _empty_pairs("jaccard")
+        cand = rd.from_pandas(candidate_pairs[["id_a", "id_b"]])
     else:
-        small = pd.DataFrame({id_column: [], text_column: []})
-    texts = dict(zip(small[id_column], small[text_column]))
-    out = []
-    for _, row in candidate_pairs.iterrows():
-        sa = tx.word_shingles(texts.get(row["id_a"], ""), shingle_k)
-        sb = tx.word_shingles(texts.get(row["id_b"], ""), shingle_k)
-        denom = len(sa | sb)
-        j = len(sa & sb) / denom if denom else 0.0
-        if j >= threshold:
-            out.append({"id_a": row["id_a"], "id_b": row["id_b"], "jaccard": j})
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        cand = candidate_pairs.select_columns(["id_a", "id_b"])
+
+    def docsets(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            s = tx.word_shingles(t, shingle_k)
+            ids.append(i)
+            blobs.append(np.sort(np.fromiter(
+                s, dtype=np.uint64, count=len(s))).tobytes())
+        return pd.DataFrame({"doc": np.array(ids, dtype=np.int64), "set": blobs})
+
+    sets = ds.map_batches(docsets, batch_format="pandas")
+
+    def attach(pairs_ds: rd.Dataset, pair_cols: list, key: str, out_col: str):
+        """Co-partition merge of pair rows (keyed by ``key``) with the
+        (doc, set) table; the two union sides carry an identical schema
+        (pair columns default-filled on the set side)."""
+
+        def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"__k__": b[key].astype(np.int64)})
+            for c in pair_cols:
+                out[c] = b[c]
+            out["set"] = pd.Series([b""] * len(b), dtype=object)
+            out[_KIND] = np.int8(0)
+            return out
+
+        def tag_set(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"__k__": b["doc"].astype(np.int64)})
+            for c in pair_cols:
+                out[c] = (pd.Series([b""] * len(b), dtype=object)
+                          if c.startswith("set") else np.int64(-1))
+            out["set"] = b["set"]
+            out[_KIND] = np.int8(1)
+            return out
+
+        def merge(part: pd.DataFrame) -> pd.DataFrame:
+            kind = part[_KIND].to_numpy()
+            lab = part.loc[kind == 1, ["__k__", "set"]].rename(
+                columns={"set": out_col})
+            req = part.loc[kind == 0, ["__k__"] + pair_cols]
+            return req.merge(lab, on="__k__", how="inner").drop(columns="__k__")
+
+        return partitioned_group_map(
+            pairs_ds.map_batches(tag_pair, batch_format="pandas").union(
+                sets.map_batches(tag_set, batch_format="pandas")),
+            ["__k__"], merge, sort_by=["__k__"], num_partitions=num_partitions,
+        )
+
+    step1 = attach(cand, ["id_a", "id_b"], "id_a", "set_a")
+    step2 = attach(step1, ["id_a", "id_b", "set_a"], "id_b", "set_b")
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        ja = np.empty(len(part), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(part["set_a"], part["set_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            denom = len(sa) + len(sb) - inter
+            ja[i] = inter / denom if denom else 0.0
+        out = pd.DataFrame({"id_a": part["id_a"].to_numpy(np.int64),
+                            "id_b": part["id_b"].to_numpy(np.int64),
+                            "jaccard": ja})
+        return out[out["jaccard"] >= threshold]
+
+    verified = step2.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(verified) == 0:
+        return _empty_pairs("jaccard")
+    return verified.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 def jaccard_allpairs(
@@ -297,7 +515,8 @@ def jaccard_allpairs(
     id_column: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.2,
-    num_partitions: int = 32,
+    max_doc_freq: int | None = None,
+    num_partitions: int = DEDUP_PARTITIONS,
 ) -> rd.Dataset:
     """Exact all-pairs word-shingle Jaccard via a distributed inverted
     index — no candidate pruning, no sketches.
@@ -305,15 +524,20 @@ def jaccard_allpairs(
     Shape: explode each doc to (shingle_hash, doc_id) rows (distinct per
     doc) -> hash-partition by shingle -> per bucket emit doc pairs ->
     per-partition PARTIAL (id_a, id_b) counts -> global count = |A∩B| ->
-    Jaccard with broadcast |S| sizes.  The shuffle carries only (hash, id)
-    pairs, never text.  Hot shingles (a trigram shared by b docs) cost b²
-    pair rows in one bucket — at 100 TB cap bucket size or drop
-    top-document-frequency shingles (standard df-cut).
+    Jaccard with per-doc set sizes attached by two keyed co-partition
+    merges (sizes ⋈ pairs on id_a, then id_b) — sizes are a DATASET, never
+    a driver dict, so billions of docs don't land on one process.
+
+    ``max_doc_freq=D`` is the standard df-cut: shingles shared by more than
+    D documents are dropped BEFORE pair generation (their b² pair blowup is
+    what kills the inverted-index shape at scale).  The cut is applied
+    consistently — per-doc set sizes count only surviving shingles — so the
+    reported Jaccard is exactly the Jaccard over the df-filtered shingle
+    sets (mirrorable in SQL with a HAVING df <= D).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
     UNROUNDED doubles (p/q of small exact ints — bit-identical across
     engines, no decimal-tie hazard)."""
-    from pytimetk_ray.exec import partitioned_group_map
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, hs = [], []
@@ -328,65 +552,119 @@ def jaccard_allpairs(
 
     exploded = ds.map_batches(explode, batch_format="pandas")
 
-    # per-doc set sizes (tiny -> driver dict; ray.put broadcast at scale)
-    size_of = (
-        exploded.map_batches(
-            lambda b: b.groupby(id_column, as_index=False).agg(sz=("h", "count")),
-            batch_format="pandas",
-        ).to_pandas().groupby(id_column)["sz"].sum().to_dict()
-    )
-
-    # partition by shingle hash; a pair's shingles span partitions, so
-    # per-partition pair counts are PARTIAL and re-reduced by a second
-    # hash partition on id_a (all partials of a pair co-locate; pandas sums
-    # them at C speed — exact int sums, order-independent), then Jaccard
+    # Partition by shingle hash: every row of a shingle co-locates, so both
+    # the df-cut and the pair generation are exact per bucket.  A pair's
+    # shingles span partitions, so per-partition pair counts are PARTIAL.
+    # Per-doc size contributions (surviving shingles only, under a df-cut)
+    # are emitted from the SAME kernel as (doc, -1, n) sentinel rows — one
+    # pass over the exploded rows feeds both reduce stages (a separate sizes
+    # branch would re-execute the whole explode pipeline: lazy Datasets have
+    # no common-subexpression reuse).
     partial = partitioned_group_map(
-        exploded, ["h"], _partial_pair_counts(id_column),
+        exploded, ["h"],
+        _partial_pair_counts(id_column, max_doc_freq, emit_sizes=True),
         sort_by=["h"], num_partitions=num_partitions,
     )
 
-    def reduce_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        cnt = part.groupby(["id_a", "id_b"], as_index=False)["c"].sum()
-        inter = cnt["c"].to_numpy(np.float64)
-        sa = cnt["id_a"].map(size_of).to_numpy(np.float64)
-        sb = cnt["id_b"].map(size_of).to_numpy(np.float64)
-        j = inter / (sa + sb - inter)
-        out = pd.DataFrame({"id_a": cnt["id_a"].astype(np.int64),
-                            "id_b": cnt["id_b"].astype(np.int64), "jaccard": j})
+    # Reduce stage 1 (keyed by id_a): sum pair partials -> |A∩B|, sum size
+    # partials -> |A|, attach sa.  Also re-emits the reduced (doc, sz) rows
+    # keyed for stage 2.
+    def split_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["k"] = b["id_a"].astype(np.int64)
+        b[_KIND] = np.where(b["id_b"].to_numpy() == -1, np.int8(1), np.int8(0))
+        return b[["k", "id_a", "id_b", "c", _KIND]]
+
+    stage1_in = partial.map_batches(split_partial, batch_format="pandas")
+
+    def reduce_a(part: pd.DataFrame) -> pd.DataFrame:
+        kind = part[_KIND].to_numpy()
+        sz = part.loc[kind == 1].groupby("id_a", as_index=False)["c"].sum()
+        pr = part.loc[kind == 0].groupby(["id_a", "id_b"], as_index=False)["c"].sum()
+        m = pr.merge(sz.rename(columns={"c": "sa"}), on="id_a", how="left")
+        out = pd.DataFrame({
+            "k": m["id_b"].to_numpy(np.int64),
+            "id_a": m["id_a"].to_numpy(np.int64),
+            "id_b": m["id_b"].to_numpy(np.int64),
+            "c": m["c"].to_numpy(np.int64),
+            "sa": m["sa"].to_numpy(np.int64),
+            _KIND: np.int8(0),
+        })
+        szr = pd.DataFrame({
+            "k": sz["id_a"].to_numpy(np.int64),
+            "id_a": sz["id_a"].to_numpy(np.int64),
+            "id_b": np.int64(-1),
+            "c": sz["c"].to_numpy(np.int64),
+            "sa": np.int64(-1),
+            _KIND: np.int8(1),
+        })
+        return pd.concat([out, szr], ignore_index=True)
+
+    stage1 = partitioned_group_map(stage1_in, ["k"], reduce_a, sort_by=["k"],
+                                   num_partitions=num_partitions)
+
+    # Reduce stage 2 (keyed by id_b): attach sb, compute Jaccard, filter.
+    def reduce_b(part: pd.DataFrame) -> pd.DataFrame:
+        kind = part[_KIND].to_numpy()
+        sz = part.loc[kind == 1, ["id_a", "c"]].rename(
+            columns={"id_a": "id_b", "c": "sb"})
+        pr = part.loc[kind == 0, ["id_a", "id_b", "c", "sa"]]
+        m = pr.merge(sz, on="id_b", how="left")
+        inter = m["c"].to_numpy(np.float64)
+        j = inter / (m["sa"].to_numpy(np.float64) + m["sb"].to_numpy(np.float64) - inter)
+        out = pd.DataFrame({"id_a": m["id_a"].to_numpy(np.int64),
+                            "id_b": m["id_b"].to_numpy(np.int64), "jaccard": j})
         return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
-    return partitioned_group_map(
-        partial, ["id_a"], reduce_pairs, sort_by=["id_a", "id_b"],
-        num_partitions=num_partitions,
-    )
+    return partitioned_group_map(stage1, ["k"], reduce_b, sort_by=["k"],
+                                 num_partitions=num_partitions)
 
 
-def _partial_pair_counts(id_column):
+def _partial_pair_counts(id_column, max_doc_freq=None, emit_sizes=False):
     """Per-partition kernel: rows sorted by shingle hash -> partial
-    (id_a, id_b) co-occurrence counts over each shingle's doc bucket."""
+    (id_a, id_b) co-occurrence counts over each shingle's doc bucket.
+    With a df-cut, buckets larger than ``max_doc_freq`` are dropped whole,
+    and per-doc surviving-shingle counts are emitted as (doc, -1, n)
+    sentinel rows (partial sizes, reduced downstream)."""
 
     def fn(part: pd.DataFrame) -> pd.DataFrame:
         hs = part["h"].to_numpy()
         ids = part[id_column].to_numpy()
         starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
         bounds = np.append(starts, len(hs))
+        seg_len = np.diff(bounds)
         pa_, pb_ = [], []
-        for gi in range(len(starts)):
+        if max_doc_freq is not None:
+            ok = seg_len <= max_doc_freq
+        else:
+            ok = np.ones(len(starts), dtype=bool)
+        for gi in np.flatnonzero(ok & (seg_len >= 2)):
             lo, hi = bounds[gi], bounds[gi + 1]
-            if hi - lo < 2:
-                continue
             bucket = np.sort(ids[lo:hi])
             iu = np.triu_indices(len(bucket), k=1)
             pa_.append(bucket[iu[0]])
             pb_.append(bucket[iu[1]])
-        if not pa_:
+        frames = []
+        if pa_:
+            df = pd.DataFrame({"id_a": np.concatenate(pa_), "id_b": np.concatenate(pb_)})
+            cnt = df.groupby(["id_a", "id_b"], as_index=False).size()
+            frames.append(pd.DataFrame({"id_a": cnt["id_a"].astype(np.int64),
+                                        "id_b": cnt["id_b"].astype(np.int64),
+                                        "c": cnt["size"].astype(np.int64)}))
+        if emit_sizes:
+            surv = np.repeat(ok, seg_len)
+            sids = ids[surv]
+            if len(sids):
+                sz = pd.Series(sids).groupby(pd.Series(sids)).size()
+                frames.append(pd.DataFrame({
+                    "id_a": sz.index.to_numpy(np.int64),
+                    "id_b": np.int64(-1),
+                    "c": sz.to_numpy(np.int64),
+                }))
+        if not frames:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "c": pd.Series([], dtype=np.int64)})
-        df = pd.DataFrame({"id_a": np.concatenate(pa_), "id_b": np.concatenate(pb_)})
-        cnt = df.groupby(["id_a", "id_b"], as_index=False).size()
-        return pd.DataFrame({"id_a": cnt["id_a"].astype(np.int64),
-                             "id_b": cnt["id_b"].astype(np.int64),
-                             "c": cnt["size"].astype(np.int64)})
+        return pd.concat(frames, ignore_index=True)
 
     return fn

@@ -220,3 +220,60 @@ def test_ann_ivf_recall_vs_bruteforce():
         f = full[full["query_id"] == qi].sort_values(["cosine", "vec_id"],
                                                      ascending=[False, True])
         np.testing.assert_array_equal(f["vec_id"].to_numpy(), e["vec_id"].to_numpy())
+
+
+def test_jaccard_dfcut_hot_shingle():
+    """A pathological shingle shared by EVERY doc must be dropped by the
+    df-cut (no b-squared pair blowup), with set sizes counting only the
+    surviving shingles — verified against a local exact recompute."""
+    from pytimetk_ray.pipelines.dedup import jaccard_allpairs
+
+    hot = "alpha beta gamma"  # one trigram present in every doc (df=20 > cap)
+    texts = []
+    for i in range(10):  # 10 near-dup PAIRS, each sharing a distinct tail
+        tail = f"shared{i} common{i} tail{i} words{i} here{i} now{i}"
+        texts.append(f"{hot} {tail} left{i}")
+        texts.append(f"{hot} {tail} right{i}")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": texts,
+    })
+    got = (
+        jaccard_allpairs(rd.from_pandas(docs), threshold=0.2, max_doc_freq=5)
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    # local exact recompute with the same df-cut
+    sets = {r.doc_id: tx.word_shingles(r.text, 3) for r in docs.itertuples()}
+    from collections import Counter
+    df_count = Counter(h for s in sets.values() for h in s)
+    sets = {i: {h for h in s if df_count[h] <= 5} for i, s in sets.items()}
+    want = []
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            denom = len(a | b)
+            jac = len(a & b) / denom if denom else 0.0
+            if jac >= 0.2:
+                want.append((ids[i], ids[j], jac))
+    want = pd.DataFrame(want, columns=["id_a", "id_b", "jaccard"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_components_distributed_matches_local():
+    """Force the distributed label-propagation rounds (gate=0) on a chain +
+    two cliques; labels must match the single-task union-find path."""
+    from pytimetk_ray.pipelines.dedup import dedup_components
+
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3, 4, 10, 10, 11, 20],
+        "id_b": [2, 3, 4, 5, 11, 12, 12, 21],
+    })
+    ds = rd.from_pandas(pairs)
+    local = dedup_components(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    dist = dedup_components(ds, single_task_max_edges=0).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(local, dist)
+    assert dict(zip(local["doc_id"], local["cluster_id"])) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+    }
