@@ -572,6 +572,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _nan_to_null(ds, cols)
         return ds.select_columns(["event_id", "user_id"] + cols)
 
+    def fin_regime(sf_dir):
+        # rows-only: iterative Baum-Welch EM is not SQL-expressible.  Labels
+        # are deterministic (quantile init, mean-ascending canonical order)
+        # but depend on the full fit, so only rows+schema are checked.
+        ds = fin.augment_regime_detection(
+            _events(sf_dir), ["user_id"], ["ts"], "value",
+            window=60, n_regimes=2, step_size=10, n_iter=20)
+        ds = _nan_to_null(ds, ["value_regime_60"])
+        return ds.select_columns(["event_id", "user_id", "value_regime_60"])
+
     def diag_acf(sf_dir):
         # numpy FFT ACF/PACF; rows-only
         return acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=12)
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_risk": fin_risk,
         "fin_hurst": fin_hurst,
         "fin_adx": fin_adx,
+        "fin_regime": fin_regime,
         "diag_acf": diag_acf,
         "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,

@@ -45,6 +45,7 @@ import pandas as pd
 import ray.data as rd
 
 from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
+from pytimetk_ray.ops.regime import augment_regime_detection  # noqa: F401
 
 
 def _op(ds, group_keys, order_by, kernel, num_partitions=DEFAULT_NUM_PARTITIONS):

@@ -145,13 +145,9 @@ def ts_features(
 
 
 def augment_regime_detection(ds, group_keys, order_by, close_column, **kw):
-    """Rolling-window HMM regimes (reference regime_detection.py:84-124).
-    Requires hmmlearn, which is not available in this environment."""
-    try:
-        import hmmlearn  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "augment_regime_detection requires 'hmmlearn' (or pomegranate), "
-            "not available in this environment"
-        ) from e
-    raise NotImplementedError("hmmlearn path not wired yet")
+    """Rolling-window HMM regimes — real implementation in ops/regime.py
+    (self-contained numpy Gaussian-HMM EM; no hmmlearn needed).  Kept here
+    as a re-export for callers that imported the former stub."""
+    from pytimetk_ray.ops.regime import augment_regime_detection as impl
+
+    return impl(ds, group_keys, order_by, close_column, **kw)
