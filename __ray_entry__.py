@@ -271,6 +271,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "recomposed_l2"]
         )
 
+    def anomalize_stl(sf_dir):
+        # TRUE loess STL + IQR, oracle-checked end-to-end: one inner pass,
+        # non-robust (the 15-round robust loop is not SQL-reproducible; the
+        # robust path is covered rows-only by `anomalize` and by unit tests).
+        # trend=15 -> STL trend window make_odd(max(15, 9)) = 15.
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D",
+                                   agg_func="sum", by=["user_id"])
+        agg = _cast_bucket_us(agg)
+        ds = tk.anomalize(agg, "bucket_ts", "value_sum", by=["user_id"],
+                          period=7, trend=15, method="stl",
+                          stl_robust=False, stl_inner=1, stl_outer=0)
+        ds = _round_cols(ds, ["observed", "seasonal", "seasadj", "trend",
+                              "remainder", "anomaly_score",
+                              "recomposed_l1", "recomposed_l2",
+                              "observed_clean"], digits=4)
+        ds = _cast_int64(ds, ["anomaly_direction"])
+        return ds.select_columns(
+            ["user_id", "bucket_ts", "observed", "seasonal", "seasadj", "trend",
+             "remainder", "anomaly", "anomaly_score", "anomaly_direction",
+             "recomposed_l1", "recomposed_l2", "observed_clean"]
+        )
+
     def fourier(sf_dir):
         ds = tk.augment_fourier(_events(sf_dir), ["user_id"], "ts", periods=24, max_order=1)
         ds = _round_cols(ds, ["ts_sin_1_24", "ts_cos_1_24"])
@@ -601,7 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(pick, batch_format="pandas")
 
     def diag_stl(sf_dir):
-        # classical decomposition; rows-only
+        # real loess STL (robust); rows-only (iterative fit)
         agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="1h",
                                    agg_func="sum", by=["user_id"])
         return stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
@@ -614,8 +636,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D",
                                    agg_func="sum", by=["user_id"])
         ds = stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
-                             by=["user_id"], period=7)
+                             by=["user_id"], period=7, method="classical")
         return _round_cols(ds, ["observed", "seasonal", "seasadj", "trend", "remainder"])
+
+    def diag_stl_loess(sf_dir):
+        # TRUE loess STL, oracle-checked: period=7, seasonal span 7, trend
+        # span 15, low-pass 7, degree 1, ONE inner pass, non-robust — the
+        # DuckDB oracle reproduces the full Cleveland recurrence
+        # (cycle-subseries loess with end extension, 3xMA low-pass + loess,
+        # trend loess) via windowed self-joins.  round-4: three chained
+        # loess passes accumulate ~1e-10 vs SUM() reordering.
+        agg = tk.summarize_by_time(_events(sf_dir), "ts", "value", freq="D",
+                                   agg_func="sum", by=["user_id"])
+        ds = stl_diagnostics(_cast_bucket_us(agg), "bucket_ts", "value_sum",
+                             by=["user_id"], period=7, method="stl",
+                             seasonal=7, trend_window=15, robust=False,
+                             inner=1, outer=0)
+        return _round_cols(ds, ["observed", "seasonal", "seasadj", "trend",
+                                "remainder"], digits=4)
 
     def hilbert(sf_dir):
         # whole-series FFT; rows-only
@@ -846,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_by_time_range": apply_by_time_range,
         "anomalize": anomalize,
         "anomalize_sql": anomalize_sql,
+        "anomalize_stl": anomalize_stl,
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
         "tpch_q1": tpch_q1,
@@ -884,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,
         "diag_stl_sql": diag_stl_sql,
+        "diag_stl_loess": diag_stl_loess,
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
         "corr_funnel": corr_funnel,
@@ -911,6 +951,212 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --- oracle SQL -------------------------------------------------------------
+
+def _loess_ctes(tag: str, pts: str, ev: str, part: list[str], q: int) -> str:
+    """Emit the CTE chain for a degree-1 loess pass in SQL, mirroring
+    kernels/stl.loess term-for-term: contiguous window of the qe nearest
+    integer positions, tricube weights with the q>n lambda widening, and the
+    closed-form weighted regression (same slope guard).  ``pts`` must expose
+    (part..., pos, val, m); ``ev`` (part..., t, m).  Produces CTE ``{tag}``
+    with (part..., t, fit)."""
+    pj = ", ".join(part)
+    on = " AND ".join(f"b.{c} = e.{c}" for c in part)
+    ep = ", ".join(f"e.{c}" for c in part)
+    return f"""
+        {tag}_e AS (
+            SELECT *, GREATEST(
+                       GREATEST(t - ws, ws + qe - 1 - t)
+                       + CASE WHEN {q} > m THEN ({q} - m) / 2.0 ELSE 0 END,
+                       1e-12) AS lam
+            FROM (SELECT *, GREATEST(0, LEAST(m - qe, t - (qe - 1) // 2)) AS ws
+                  FROM (SELECT {pj}, t, m, LEAST({q}, m) AS qe FROM {ev}))
+        ),
+        {tag}_w AS (
+            SELECT {ep}, e.t, CAST(b.pos AS DOUBLE) AS x, b.val AS y,
+                   POWER(GREATEST(1 - POWER(ABS(b.pos - e.t) / e.lam, 3), 0), 3) AS w
+            FROM {tag}_e e JOIN {pts} b
+              ON {on} AND b.pos BETWEEN e.ws AND e.ws + e.qe - 1
+        ),
+        {tag}_s AS (
+            SELECT {pj}, t, SUM(w) AS s0, SUM(w * x) AS s1, SUM(w * x * x) AS s2,
+                   SUM(w * y) AS sy, SUM(w * x * y) AS sxy
+            FROM {tag}_w GROUP BY ALL
+        ),
+        {tag} AS (
+            SELECT {pj}, t, (sy - slope * s1) / s0 + slope * t AS fit
+            FROM (SELECT *, CASE WHEN ABS(s0 * s2 - s1 * s1)
+                                      > 1e-12 * GREATEST(s0 * s2, 1.0)
+                                 THEN (s0 * sxy - s1 * sy) / (s0 * s2 - s1 * s1)
+                                 ELSE 0 END AS slope
+                  FROM {tag}_s)
+        )"""
+
+
+def _stl_chain_sql(period: int = 7, ns: int = 7, nt: int = 15, nl: int = 7) -> str:
+    """CTE chain (after WITH) for ONE inner pass of non-robust degree-1 STL
+    over the per-user daily sums of ``events`` (Cleveland 1990; mirrors
+    kernels/stl.stl_decompose with inner=1, outer=0).  Steps: cycle-subseries
+    loess (span ns) evaluated at -1..m (end extension), low-pass = MA(p) x2 +
+    MA(3) + loess (span nl), seasonal = C - L, trend = loess of the
+    deseasonalized series (span nt).  Ends with CTE ``stlout``:
+    (user_id, bucket_ts, observed, seasonal, seasadj, trend, remainder),
+    unrounded."""
+    p = period
+    return f"""agg AS (
+            SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+                   CAST(SUM(value) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT user_id, bucket_ts, y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket_ts) - 1 AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM agg
+        ),
+        sub AS (  -- cycle subseries: pos j within phase, detrended = y (T0=0)
+            SELECT user_id, i % {p} AS ph, i // {p} AS pos, y AS val,
+                   COUNT(*) OVER (PARTITION BY user_id, i % {p}) AS m
+            FROM base
+        ),
+        gs AS (SELECT UNNEST(generate_series(-1,
+                   (SELECT MAX(m) FROM sub))) AS t),
+        subev AS (  -- loess evaluated one step beyond each subseries end
+            SELECT d.user_id, d.ph, gs.t, d.m
+            FROM (SELECT DISTINCT user_id, ph, m FROM sub) d
+            JOIN gs ON gs.t <= d.m
+        ),
+        {_loess_ctes("cs", "sub", "subev", ["user_id", "ph"], ns)},
+        c AS (  -- C on slots 0..n+2p-1; slot = ph + (j+1)*p; time i = slot-p
+            SELECT user_id, ph + (t + 1) * {p} AS slot, fit AS cv FROM cs
+        ),
+        ma1 AS (
+            SELECT user_id, slot AS k,
+                   AVG(cv) OVER w AS v, COUNT(*) OVER w AS cnt
+            FROM c WINDOW w AS (PARTITION BY user_id ORDER BY slot
+                                ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING)
+        ),
+        ma1f AS (SELECT user_id, k, v FROM ma1 WHERE cnt = {p}),
+        ma2 AS (
+            SELECT user_id, k, AVG(v) OVER w AS v, COUNT(*) OVER w AS cnt
+            FROM ma1f WINDOW w AS (PARTITION BY user_id ORDER BY k
+                                   ROWS BETWEEN CURRENT ROW AND {p - 1} FOLLOWING)
+        ),
+        ma2f AS (SELECT user_id, k, v FROM ma2 WHERE cnt = {p}),
+        ma3 AS (
+            SELECT user_id, k, AVG(v) OVER w AS v, COUNT(*) OVER w AS cnt
+            FROM ma2f WINDOW w AS (PARTITION BY user_id ORDER BY k
+                                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+        ),
+        lppts AS (  -- low-pass input: n values at positions 0..n-1 (= time i)
+            SELECT user_id, k AS pos, v AS val,
+                   COUNT(*) OVER (PARTITION BY user_id) AS m
+            FROM ma3 WHERE cnt = 3
+        ),
+        lpev AS (SELECT user_id, pos AS t, m FROM lppts),
+        {_loess_ctes("lp", "lppts", "lpev", ["user_id"], nl)},
+        seasonal AS (  -- S[i] = C[slot i+p] - L[i]
+            SELECT b.user_id, b.i, b.bucket_ts, b.y, c.cv - lp.fit AS s
+            FROM base b
+            JOIN c  ON c.user_id = b.user_id AND c.slot = b.i + {p}
+            JOIN lp ON lp.user_id = b.user_id AND lp.t = b.i
+        ),
+        deseas AS (
+            SELECT user_id, i AS pos, y - s AS val, bucket_ts, y, s,
+                   COUNT(*) OVER (PARTITION BY user_id) AS m
+            FROM seasonal
+        ),
+        trev AS (SELECT user_id, pos AS t, m FROM deseas),
+        {_loess_ctes("tr", "deseas", "trev", ["user_id"], nt)},
+        stlout AS (
+            SELECT d.user_id, d.bucket_ts,
+                   d.y                 AS observed,
+                   d.s                 AS seasonal,
+                   d.y - d.s           AS seasadj,
+                   tr.fit              AS trend,
+                   d.y - d.s - tr.fit  AS remainder
+            FROM deseas d JOIN tr ON tr.user_id = d.user_id AND tr.t = d.pos
+        )"""
+
+
+def _np_quantile_cte(tag: str, src: str, xcol: str, q: float) -> str:
+    """Per-user np.percentile (lerp that switches formula at frac >= 0.5,
+    matching numpy's evaluation order) of ``src.{xcol}`` -> CTE ``{tag}``
+    with (user_id, val)."""
+    return f"""
+        {tag} AS (
+            SELECT user_id,
+                   CASE WHEN frac < 0.5 THEN lo_v + (hi_v - lo_v) * frac
+                        ELSE hi_v - (hi_v - lo_v) * (1 - frac) END AS val
+            FROM (
+                SELECT user_id,
+                       MAX(CASE WHEN r2 = flo + 1 THEN x END) AS lo_v,
+                       MAX(CASE WHEN r2 = fhi + 1 THEN x END) AS hi_v,
+                       ANY_VALUE(frac) AS frac
+                FROM (
+                    SELECT user_id, {xcol} AS x,
+                           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {xcol}) AS r2,
+                           CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * {q}) AS BIGINT) AS flo,
+                           LEAST(CAST(FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * {q}) AS BIGINT) + 1,
+                                 COUNT(*) OVER (PARTITION BY user_id) - 1) AS fhi,
+                           (COUNT(*) OVER (PARTITION BY user_id) - 1) * {q}
+                             - FLOOR((COUNT(*) OVER (PARTITION BY user_id) - 1) * {q}) AS frac
+                    FROM {src}
+                ) GROUP BY user_id
+            )
+        )"""
+
+
+def _stl_loess_sql(digits: int = 4) -> str:
+    return f"""
+        WITH {_stl_chain_sql()}
+        SELECT user_id, bucket_ts,
+               ROUND(observed, {digits})  AS observed,
+               ROUND(seasonal, {digits})  AS seasonal,
+               ROUND(seasadj, {digits})   AS seasadj,
+               ROUND(trend, {digits})     AS trend,
+               ROUND(remainder, {digits}) AS remainder
+        FROM stlout
+    """
+
+
+def _anomalize_stl_sql(digits: int = 4, k: float = 0.15 / 0.05,
+                       clean_alpha: float = 0.75) -> str:
+    """STL decomposition chain + the reference's verbatim IQR limit formulas
+    (anomalize.py:733-784) + min_max clean, all per user."""
+    return f"""
+        WITH {_stl_chain_sql()},
+        {_np_quantile_cte("q1t", "stlout", "remainder", 0.25)},
+        {_np_quantile_cte("q3t", "stlout", "remainder", 0.75)},
+        lim AS (
+            SELECT q1t.user_id,
+                   -1 * (q1t.val + {k} * (q3t.val - q1t.val)) AS l1,
+                   q3t.val + {k} * (q3t.val - q1t.val) AS l2
+            FROM q1t JOIN q3t ON q3t.user_id = q1t.user_id
+        )
+        SELECT r.user_id, r.bucket_ts,
+               ROUND(r.observed, {digits})  AS observed,
+               ROUND(r.seasonal, {digits})  AS seasonal,
+               ROUND(r.seasadj, {digits})   AS seasadj,
+               ROUND(r.trend, {digits})     AS trend,
+               ROUND(r.remainder, {digits}) AS remainder,
+               CASE WHEN r.remainder > l.l2 OR r.remainder < l.l1
+                    THEN 'Yes' ELSE 'No' END AS anomaly,
+               ROUND(ABS(r.remainder - (l.l1 + l.l2) / 2), {digits}) AS anomaly_score,
+               CASE WHEN r.remainder > l.l2 THEN 1
+                    WHEN r.remainder < l.l1 THEN -1 ELSE 0 END AS anomaly_direction,
+               ROUND(r.seasonal + r.trend + l.l1, {digits}) AS recomposed_l1,
+               ROUND(r.seasonal + r.trend + l.l2, {digits}) AS recomposed_l2,
+               ROUND(CASE
+                   WHEN r.remainder < l.l1 THEN
+                        (r.seasonal + r.trend + l.l1)
+                        + (1 - {clean_alpha}) * (l.l2 - l.l1) / 2
+                   WHEN r.remainder > l.l2 THEN
+                        (r.seasonal + r.trend + l.l2)
+                        - (1 - {clean_alpha}) * (l.l2 - l.l1) / 2
+                   ELSE r.observed END, {digits}) AS observed_clean
+        FROM stlout r JOIN lim l ON l.user_id = r.user_id
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1777,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tr JOIN sm ON sm.user_id = tr.user_id AND sm.phase = tr.phase
             JOIN ctr ON ctr.user_id = tr.user_id
         """,
+        "diag_stl_loess": _stl_loess_sql(),
+        "anomalize_stl": _anomalize_stl_sql(),
         "corr_funnel_sql": """
             WITH e AS (
                 SELECT CAST(value AS DOUBLE) AS value, event_type,

@@ -150,6 +150,9 @@ def anomalize_frame(
     clean: str = "min_max",
     iqr_alpha: float = 0.05,
     clean_alpha: float = 0.75,
+    stl_robust: bool = True,
+    stl_inner: int | None = None,
+    stl_outer: int | None = None,
 ) -> pd.DataFrame:
     """Run the full anomalize pipeline on ONE group's sorted frame, returning
     date + 11 diagnostic columns (reference column contract,
@@ -163,25 +166,21 @@ def anomalize_frame(
     period = min(max(int(period), 2), max(len(v) // 2, 2))
 
     if method == "stl":
-        try:
-            from statsmodels.tsa.seasonal import STL  # optional dependency
+        # real loess STL (kernels/stl.py, Cleveland 1990) with the window
+        # choices the reference passes to statsmodels STL
+        # (anomalize.py:703-730): seasonal = period made odd, trend =
+        # max(trend, period+2) made odd, robust fit
+        from pytimetk_ray.kernels.stl import stl_decompose
 
-            def make_odd(x):
-                return x + 1 if x % 2 == 0 else x
+        def make_odd(x):
+            return x + 1 if x % 2 == 0 else x
 
-            res = STL(
-                pd.Series(v, index=ts), period=period,
-                seasonal=make_odd(period), trend=make_odd(max(trend, period + 2)),
-                robust=True,
-            ).fit()
-            seasonal = np.asarray(res.seasonal)
-            seasadj = v - seasonal
-            trend_arr = np.asarray(res.trend)
-        except ImportError:
-            # statsmodels absent in this environment: classical fallback with
-            # the same column contract
-            seasonal, trend_arr = classical_decompose(v, period, decomp)
-            seasadj = v - seasonal
+        seasonal, trend_arr = stl_decompose(
+            v, period, seasonal=make_odd(period),
+            trend=make_odd(max(trend, period + 2)), robust=stl_robust,
+            inner=stl_inner, outer=stl_outer,
+        )
+        seasadj = v - seasonal
     else:  # twitter
         seasonal, _ = classical_decompose(v, period, decomp)
         seasadj = v - seasonal

@@ -39,6 +39,9 @@ def anomalize(
     iqr_alpha: float = 0.05,
     clean_alpha: float = 0.75,
     bind_data: bool = False,
+    stl_robust: bool = True,
+    stl_inner: int | None = None,
+    stl_outer: int | None = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
     """``bind_data=True`` keeps the input's other columns alongside the 11
@@ -62,6 +65,9 @@ def anomalize(
                 clean=clean,
                 iqr_alpha=iqr_alpha,
                 clean_alpha=clean_alpha,
+                stl_robust=stl_robust,
+                stl_inner=stl_inner,
+                stl_outer=stl_outer,
             )
             if bind_data:
                 res = pd.concat(

@@ -125,28 +125,57 @@ def stl_diagnostics(
     *,
     by: Sequence[str] = (),
     period: int | None = None,
+    method: str = "stl",
+    seasonal: int | None = None,
+    trend_window: int | None = None,
+    robust: bool = True,
+    inner: int | None = None,
+    outer: int | None = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
     """Per-row decomposition table: keys + date + observed/seasonal/seasadj/
-    trend/remainder."""
+    trend/remainder.
+
+    ``method="stl"`` (default) runs the real loess STL (kernels/stl.py,
+    Cleveland 1990) with the reference's window resolution
+    (stl_diagnostics.py:109-131: seasonal window = max(period, 7) made odd;
+    trend window = auto trend period made odd, >= 3, capped at the largest
+    odd <= n; robust=True default).  ``method="classical"`` keeps the
+    classical decomposition (centered-MA trend + per-phase means)."""
     by = list(by)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        from pytimetk_ray.kernels.stl import stl_decompose
+
         frames = []
         groups = part.groupby(by, sort=False) if by else [((), part)]
         for keys, g in groups:
             if not isinstance(keys, tuple):
                 keys = (keys,)
             v = g[value_column].to_numpy(dtype=np.float64)
-            p = period or auto_periods(g[date_column])[0]
+            p_auto, t_auto = auto_periods(g[date_column])
+            p = period or p_auto
             p = min(max(int(p), 2), max(len(v) // 2, 2))
-            seasonal, trend = classical_decompose(v, p)
-            seasadj = v - seasonal
+            if method == "stl":
+                n = len(v)
+                sw = seasonal if seasonal is not None else max(p, 7)
+                if sw % 2 == 0:
+                    sw += 1
+                tw = trend_window if trend_window is not None else max(t_auto, 3)
+                if tw % 2 == 0:
+                    tw += 1
+                tw = max(min(tw, n - (1 - n % 2)), 3)
+                seas_arr, trend = stl_decompose(
+                    v, p, seasonal=sw, trend=tw, robust=robust,
+                    inner=inner, outer=outer)
+            else:
+                seas_arr, trend = classical_decompose(v, p)
+            seasadj = v - seas_arr
             df = pd.DataFrame(
                 {
                     date_column: g[date_column].to_numpy(),
                     "observed": v,
-                    "seasonal": seasonal,
+                    "seasonal": seas_arr,
                     "seasadj": seasadj,
                     "trend": trend,
                     "remainder": seasadj - trend,

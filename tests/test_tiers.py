@@ -111,6 +111,37 @@ def test_gap_fill_tier(corpus, tmp_path):
     assert (t[t["value_count"] == 0]["value_sum"] == 0).all()
 
 
+def test_gap_fill_constant_count_group(tmp_path):
+    """Regression (ADVICE r1): a conversation with EXACTLY one event per
+    occupied minute bucket has value_count constant (=1) within the group;
+    pad_by_time's constant-column ffill would copy count=1 (and min/max)
+    onto gap rows.  Gap rows are identified here from the GRID (buckets
+    absent pre-pad), not from count==0, so an ffill leak cannot hide."""
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:05",
+         "2024-01-01 00:07"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "conv_id": 1, "ts": ts, "value": [2.0, 3.0, 5.0, 7.0],
+    })
+    out = str(tmp_path / "tiers_cc")
+    rollup_tiers(rd.from_pandas(df), out_dir=out, num_partitions=1,
+                 input_fingerprint="cc", gap_fill=True, tiers=["1min", "1h"])
+    t = read_tier_pandas(out, "1m").sort_values("bucket_ts", ignore_index=True)
+    occupied = set(ts)  # every event is its own minute bucket
+    gap = ~t["bucket_ts"].isin(occupied)
+    assert gap.sum() == 4  # minutes 2,3,4,6
+    assert (t.loc[gap, "value_sum"] == 0).all()
+    assert (t.loc[gap, "value_count"] == 0).all()
+    assert t.loc[gap, "value_min"].isna().all()
+    assert t.loc[gap, "value_max"].isna().all()
+    assert (t.loc[~gap, "value_count"] == 1).all()
+    # upper tier: counts NOT inflated by gap rows, mean well-defined
+    h = read_tier_pandas(out, "1h")
+    assert h["value_count"].tolist() == [4]
+    assert h["value_sum"].tolist() == [17.0]
+
+
 def test_encoder_roundtrip_bit_equal(corpus, tmp_path):
     out = str(tmp_path / "tiers4")
     rollup_tiers(rd.from_pandas(corpus), out_dir=out, num_partitions=4, input_fingerprint="t4")
