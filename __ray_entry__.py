@@ -667,6 +667,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "is_holiday", "before_holiday",
                                   "after_holiday"])
 
+    def holiday_signature_multi(sf_dir):
+        # UK + DE built-in calendars over a dense 2024-2025 daily grid; the
+        # oracle lists the hand-derived public dates (Easter computus etc.)
+        import ray.data as rd2
+
+        days = pd.date_range("2024-01-01", "2025-12-31", freq="D").astype(
+            "datetime64[us]")
+        parts = []
+        for ctry in ("UK", "DE"):
+            d = rd2.from_pandas(pd.DataFrame({"d": days}))
+            t = augment_holiday_signature(d, "d", country=ctry, concurrency=2)
+            t = t.map_batches(
+                lambda b, c=ctry: b.assign(country=c), batch_format="pandas")
+            parts.append(t)
+        ds = parts[0].union(parts[1])
+        ds = _cast_int64(ds, ["is_holiday", "before_holiday", "after_holiday"])
+        return ds.select_columns(["country", "d", "is_holiday",
+                                  "before_holiday", "after_holiday",
+                                  "holiday_name"])
+
     def augment_pct_change(sf_dir):
         ds = tk.augment_pct_change(_events(sf_dir), ["user_id"], ["ts"], "value", periods=1)
         ds = _nan_to_null(ds, ["value_pctdiff_1"])
@@ -786,9 +806,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from pytimetk_ray.ops.cv import TimeSeriesCV
 
-        cv = TimeSeriesCV(frequency="D", train_size=10, forecast_horizon=3)
+        cv = TimeSeriesCV(frequency="D", train_size=10, forecast_horizon=3,
+                          mode="forward")
         frames = []
         for i, (train, test) in enumerate(islice(cv.split(_events(sf_dir), "ts"), 3)):
+            tr = train.select_columns(["event_id"]).to_pandas()
+            te = test.select_columns(["event_id"]).to_pandas()
+            tr["fold"], tr["split"] = i, "train"
+            te["fold"], te["split"] = i, "test"
+            frames.append(tr)
+            frames.append(te)
+        return pd.concat(frames, ignore_index=True)
+
+    def cv_folds_backward(sf_dir):
+        # reference-default backward mode: last fold's test window ends at
+        # the max timestamp (+1us half-open); 3 latest folds, chronological
+        from pytimetk_ray.ops.cv import TimeSeriesCV
+
+        cv = TimeSeriesCV(frequency="D", train_size=10, forecast_horizon=3,
+                          split_limit=3)
+        frames = []
+        for i, (train, test) in enumerate(cv.split(_events(sf_dir), "ts")):
             tr = train.select_columns(["event_id"]).to_pandas()
             te = test.select_columns(["event_id"]).to_pandas()
             tr["fold"], tr["split"] = i, "train"
@@ -926,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag_stl_loess": diag_stl_loess,
         "hilbert": hilbert,
         "holiday_signature": holiday_signature,
+        "holiday_signature_multi": holiday_signature_multi,
         "corr_funnel": corr_funnel,
         "corr_funnel_sql": corr_funnel_sql,
         "floor_ceil_dates": floor_ceil_dates,
@@ -941,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_diag": seasonal_diag,
         "frequency_summary": frequency_summary,
         "cv_folds": cv_folds,
+        "cv_folds_backward": cv_folds_backward,
         "ts_features": ts_features_q,
         "ts_features_full": ts_features_full,
         "sessions": sessions,
@@ -1584,6 +1624,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(ts AS DATE) - 1 IN (SELECT d FROM h) AS BIGINT) AS after_holiday
             FROM events
         """,
+        "holiday_signature_multi": """
+            -- hand-derived UK (England & Wales) + DE nationwide holidays for
+            -- 2024-2025 (Easter 2024-03-31, 2025-04-20), plus 2026-01-01 so
+            -- the before_holiday flag is right at the range end
+            WITH cal(country, hd, name) AS (
+                VALUES
+                ('UK', DATE '2024-01-01', 'New Year''s Day'),
+                ('UK', DATE '2024-03-29', 'Good Friday'),
+                ('UK', DATE '2024-04-01', 'Easter Monday'),
+                ('UK', DATE '2024-05-06', 'Early May Bank Holiday'),
+                ('UK', DATE '2024-05-27', 'Spring Bank Holiday'),
+                ('UK', DATE '2024-08-26', 'Summer Bank Holiday'),
+                ('UK', DATE '2024-12-25', 'Christmas Day'),
+                ('UK', DATE '2024-12-26', 'Boxing Day'),
+                ('UK', DATE '2025-01-01', 'New Year''s Day'),
+                ('UK', DATE '2025-04-18', 'Good Friday'),
+                ('UK', DATE '2025-04-21', 'Easter Monday'),
+                ('UK', DATE '2025-05-05', 'Early May Bank Holiday'),
+                ('UK', DATE '2025-05-26', 'Spring Bank Holiday'),
+                ('UK', DATE '2025-08-25', 'Summer Bank Holiday'),
+                ('UK', DATE '2025-12-25', 'Christmas Day'),
+                ('UK', DATE '2025-12-26', 'Boxing Day'),
+                ('UK', DATE '2026-01-01', 'New Year''s Day'),
+                ('DE', DATE '2024-01-01', 'Neujahr'),
+                ('DE', DATE '2024-03-29', 'Karfreitag'),
+                ('DE', DATE '2024-04-01', 'Ostermontag'),
+                ('DE', DATE '2024-05-01', 'Erster Mai'),
+                ('DE', DATE '2024-05-09', 'Christi Himmelfahrt'),
+                ('DE', DATE '2024-05-20', 'Pfingstmontag'),
+                ('DE', DATE '2024-10-03', 'Tag der Deutschen Einheit'),
+                ('DE', DATE '2024-12-25', 'Erster Weihnachtstag'),
+                ('DE', DATE '2024-12-26', 'Zweiter Weihnachtstag'),
+                ('DE', DATE '2025-01-01', 'Neujahr'),
+                ('DE', DATE '2025-04-18', 'Karfreitag'),
+                ('DE', DATE '2025-04-21', 'Ostermontag'),
+                ('DE', DATE '2025-05-01', 'Erster Mai'),
+                ('DE', DATE '2025-05-29', 'Christi Himmelfahrt'),
+                ('DE', DATE '2025-06-09', 'Pfingstmontag'),
+                ('DE', DATE '2025-10-03', 'Tag der Deutschen Einheit'),
+                ('DE', DATE '2025-12-25', 'Erster Weihnachtstag'),
+                ('DE', DATE '2025-12-26', 'Zweiter Weihnachtstag'),
+                ('DE', DATE '2026-01-01', 'Neujahr')
+            ),
+            days AS (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2025-12-31',
+                                              INTERVAL 1 DAY)) AS d
+            ),
+            cc(country) AS (VALUES ('UK'), ('DE'))
+            SELECT cc.country, days.d,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE)) AS BIGINT) AS is_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) + 1) AS BIGINT) AS before_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) - 1) AS BIGINT) AS after_holiday,
+                   (SELECT name FROM cal WHERE cal.country = cc.country
+                    AND cal.hd = CAST(days.d AS DATE)) AS holiday_name
+            FROM days CROSS JOIN cc
+        """,
         "sessions": """
             WITH d AS (
                 SELECT event_id, user_id, ts,
@@ -1778,6 +1878,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, f.fold, 'test'
             FROM events e JOIN folds f
               ON e.ts >= f.tr_e AND e.ts < f.tr_e + INTERVAL 3 DAY
+        """,
+        "cv_folds_backward": """
+            WITH t0 AS (SELECT MAX(ts) AS hi FROM events),
+            folds AS (
+                SELECT (2 - k) AS fold,
+                       hi + INTERVAL 1 MICROSECOND - k * (INTERVAL 3 DAY) AS te_e
+                FROM t0, (SELECT UNNEST([0, 1, 2]) AS k) AS f(k)
+            )
+            SELECT e.event_id, f.fold, 'train' AS split
+            FROM events e JOIN folds f
+              ON e.ts >= f.te_e - INTERVAL 13 DAY AND e.ts < f.te_e - INTERVAL 3 DAY
+            UNION ALL
+            SELECT e.event_id, f.fold, 'test'
+            FROM events e JOIN folds f
+              ON e.ts >= f.te_e - INTERVAL 3 DAY AND e.ts < f.te_e
         """,
         "frequency_summary": """
             WITH d AS (

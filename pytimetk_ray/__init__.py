@@ -25,7 +25,7 @@ from pytimetk_ray.ops.anomalize import anomalize
 from pytimetk_ray.ops.fourier import augment_fourier
 from pytimetk_ray.ops.apply_window import augment_expanding_apply, augment_rolling_apply
 from pytimetk_ray.ops.correlationfunnel import binarize, correlate
-from pytimetk_ray.ops.cv import TimeSeriesCV
+from pytimetk_ray.ops.cv import TimeSeriesCV, TimeSeriesCVSplitter
 from pytimetk_ray.ops.diagnostics import acf_diagnostics, seasonal_diagnostics, stl_diagnostics
 from pytimetk_ray.ops.holiday import augment_holiday_signature
 from pytimetk_ray.ops.sequences import (

@@ -51,6 +51,117 @@ def us_federal_holidays(year: int) -> dict[dt.date, str]:
     }
 
 
+def easter(year: int) -> dt.date:
+    """Gregorian Easter Sunday — Anonymous Gregorian computus (public
+    algorithm; e.g. Meeus/Jones/Butcher as published)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    g = (8 * b + 13) // 25
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month, day = divmod(h + l - 7 * m + 114, 31)
+    return dt.date(year, month, day + 1)
+
+
+def _next_monday(d: dt.date) -> dt.date:
+    return d + dt.timedelta(days=(7 - d.weekday()) % 7 or 7)
+
+
+def uk_holidays(year: int) -> dict[dt.date, str]:
+    """England & Wales bank holidays (public rules, incl. weekend
+    substitutes for New Year / Christmas / Boxing Day)."""
+    e = easter(year)
+    cal = {
+        e - dt.timedelta(days=2): "Good Friday",
+        e + dt.timedelta(days=1): "Easter Monday",
+        _nth_weekday(year, 5, 0, 1): "Early May Bank Holiday",
+        _last_weekday(year, 5, 0): "Spring Bank Holiday",
+        _last_weekday(year, 8, 0): "Summer Bank Holiday",
+    }
+    ny = dt.date(year, 1, 1)
+    cal[ny if ny.weekday() < 5 else _next_monday(ny)] = "New Year's Day"
+    xmas, boxing = dt.date(year, 12, 25), dt.date(year, 12, 26)
+    if xmas.weekday() == 5:      # Sat 25 / Sun 26 -> Mon 27 + Tue 28
+        cal[dt.date(year, 12, 27)] = "Christmas Day (substitute)"
+        cal[dt.date(year, 12, 28)] = "Boxing Day (substitute)"
+    elif xmas.weekday() == 6:    # Sun 25 / Mon 26 -> Mon 26 + Tue 27
+        cal[boxing] = "Boxing Day"
+        cal[dt.date(year, 12, 27)] = "Christmas Day (substitute)"
+    elif xmas.weekday() == 4:    # Fri 25 / Sat 26 -> Fri 25 + Mon 28
+        cal[xmas] = "Christmas Day"
+        cal[dt.date(year, 12, 28)] = "Boxing Day (substitute)"
+    else:
+        cal[xmas] = "Christmas Day"
+        cal[boxing] = "Boxing Day"
+    return cal
+
+
+def de_holidays(year: int) -> dict[dt.date, str]:
+    """German NATIONWIDE public holidays (regional ones excluded)."""
+    e = easter(year)
+    return {
+        dt.date(year, 1, 1): "Neujahr",
+        e - dt.timedelta(days=2): "Karfreitag",
+        e + dt.timedelta(days=1): "Ostermontag",
+        dt.date(year, 5, 1): "Erster Mai",
+        e + dt.timedelta(days=39): "Christi Himmelfahrt",
+        e + dt.timedelta(days=50): "Pfingstmontag",
+        dt.date(year, 10, 3): "Tag der Deutschen Einheit",
+        dt.date(year, 12, 25): "Erster Weihnachtstag",
+        dt.date(year, 12, 26): "Zweiter Weihnachtstag",
+    }
+
+
+def fr_holidays(year: int) -> dict[dt.date, str]:
+    """French public holidays (jours feries, metropolitan list)."""
+    e = easter(year)
+    return {
+        dt.date(year, 1, 1): "Jour de l'an",
+        e + dt.timedelta(days=1): "Lundi de Paques",
+        dt.date(year, 5, 1): "Fete du Travail",
+        dt.date(year, 5, 8): "Fete de la Victoire",
+        e + dt.timedelta(days=39): "Ascension",
+        e + dt.timedelta(days=50): "Lundi de Pentecote",
+        dt.date(year, 7, 14): "Fete nationale",
+        dt.date(year, 8, 15): "Assomption",
+        dt.date(year, 11, 1): "Toussaint",
+        dt.date(year, 11, 11): "Armistice 1918",
+        dt.date(year, 12, 25): "Noel",
+    }
+
+
+def ca_holidays(year: int) -> dict[dt.date, str]:
+    """Canadian federal statutory holidays (public rules; Victoria Day =
+    last Monday preceding May 25)."""
+    e = easter(year)
+    may24 = dt.date(year, 5, 24)
+    victoria = may24 - dt.timedelta(days=(may24.weekday() - 0) % 7)
+    return {
+        dt.date(year, 1, 1): "New Year's Day",
+        e - dt.timedelta(days=2): "Good Friday",
+        victoria: "Victoria Day",
+        dt.date(year, 7, 1): "Canada Day",
+        _nth_weekday(year, 9, 0, 1): "Labour Day",
+        _nth_weekday(year, 10, 0, 2): "Thanksgiving",
+        dt.date(year, 11, 11): "Remembrance Day",
+        dt.date(year, 12, 25): "Christmas Day",
+        dt.date(year, 12, 26): "Boxing Day",
+    }
+
+
+_BUILTIN_CALENDARS = {
+    "US": us_federal_holidays,
+    "UK": uk_holidays,
+    "GB": uk_holidays,
+    "DE": de_holidays,
+    "FR": fr_holidays,
+    "CA": ca_holidays,
+}
+
+
 class HolidayTagger:
     """Actor-pool stage: calendar built once per worker."""
 
@@ -58,18 +169,20 @@ class HolidayTagger:
                  years=range(1990, 2050)):
         self.date_column = date_column
         cal: dict[dt.date, str] = {}
-        try:  # optional external package
+        try:  # optional external package (any country code it supports)
             import holidays as _h
 
             cal = dict(_h.country_holidays(country, years=list(years)))
         except ImportError:
-            if country != "US":
+            fn = _BUILTIN_CALENDARS.get(country.upper())
+            if fn is None:
                 raise NotImplementedError(
-                    "only the built-in US calendar is available without the "
-                    "'holidays' package"
+                    f"no built-in calendar for {country!r} (have "
+                    f"{sorted(set(_BUILTIN_CALENDARS))}) and the 'holidays' "
+                    "package is not installed"
                 )
             for y in years:
-                cal.update(us_federal_holidays(y))
+                cal.update(fn(y))
         self.dates = pd.DatetimeIndex(sorted(cal)).values.astype("datetime64[D]")
         self.names = np.array([cal[d] for d in sorted(cal)], dtype=object)
 

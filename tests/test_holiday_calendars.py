@@ -1,0 +1,92 @@
+"""Built-in algorithmic holiday calendars vs hand-checked public dates.
+
+Rule-based: one-off proclamations (e.g. UK 2022 Platinum Jubilee moves) are
+out of scope, matching the documented variant in ops/holiday.py."""
+
+import datetime as dt
+
+import pytest
+
+from pytimetk_ray.ops.holiday import (
+    ca_holidays,
+    de_holidays,
+    easter,
+    fr_holidays,
+    uk_holidays,
+    us_federal_holidays,
+)
+
+
+@pytest.mark.parametrize("year,month,day", [
+    (2016, 3, 27), (2020, 4, 12), (2021, 4, 4), (2022, 4, 17),
+    (2023, 4, 9), (2024, 3, 31), (2025, 4, 20), (2026, 4, 5),
+    (2038, 4, 25),  # latest possible Gregorian Easter
+    (2285, 3, 22),  # earliest possible
+])
+def test_easter_known_dates(year, month, day):
+    assert easter(year) == dt.date(year, month, day)
+
+
+def test_uk_2024():
+    cal = uk_holidays(2024)
+    want = {
+        dt.date(2024, 1, 1): "New Year's Day",
+        dt.date(2024, 3, 29): "Good Friday",
+        dt.date(2024, 4, 1): "Easter Monday",
+        dt.date(2024, 5, 6): "Early May Bank Holiday",
+        dt.date(2024, 5, 27): "Spring Bank Holiday",
+        dt.date(2024, 8, 26): "Summer Bank Holiday",
+        dt.date(2024, 12, 25): "Christmas Day",
+        dt.date(2024, 12, 26): "Boxing Day",
+    }
+    assert cal == want
+
+
+def test_uk_substitute_days():
+    # 2021: Christmas Sat -> substitutes Mon 27 + Tue 28
+    cal = uk_holidays(2021)
+    assert dt.date(2021, 12, 27) in cal and dt.date(2021, 12, 28) in cal
+    assert dt.date(2021, 12, 25) not in cal
+    # 2022: New Year's Day Sat -> observed Mon Jan 3
+    cal22 = uk_holidays(2022)
+    assert cal22[dt.date(2022, 1, 3)] == "New Year's Day"
+    # 2022: Christmas Sun -> Boxing Mon 26 + Christmas substitute Tue 27
+    assert dt.date(2022, 12, 26) in cal22 and dt.date(2022, 12, 27) in cal22
+    # 2020: Boxing Day Sat -> substitute Mon 28, Christmas Fri stays
+    cal20 = uk_holidays(2020)
+    assert cal20[dt.date(2020, 12, 25)] == "Christmas Day"
+    assert dt.date(2020, 12, 28) in cal20
+
+
+def test_de_2024_2025():
+    cal = de_holidays(2024)
+    assert cal[dt.date(2024, 3, 29)] == "Karfreitag"
+    assert cal[dt.date(2024, 5, 9)] == "Christi Himmelfahrt"
+    assert cal[dt.date(2024, 5, 20)] == "Pfingstmontag"
+    assert dt.date(2024, 10, 3) in cal and len(cal) == 9
+    cal25 = de_holidays(2025)
+    assert cal25[dt.date(2025, 5, 29)] == "Christi Himmelfahrt"
+    assert cal25[dt.date(2025, 6, 9)] == "Pfingstmontag"
+
+
+def test_fr_2024():
+    cal = fr_holidays(2024)
+    assert cal[dt.date(2024, 4, 1)] == "Lundi de Paques"
+    assert cal[dt.date(2024, 5, 8)] == "Fete de la Victoire"
+    assert cal[dt.date(2024, 7, 14)] == "Fete nationale"
+    assert len(cal) == 11
+
+
+def test_ca_2024():
+    cal = ca_holidays(2024)
+    assert cal[dt.date(2024, 5, 20)] == "Victoria Day"
+    assert cal[dt.date(2024, 10, 14)] == "Thanksgiving"
+    assert cal[dt.date(2024, 9, 2)] == "Labour Day"
+    # Victoria Day when May 24 IS a Monday (2021): May 24
+    assert ca_holidays(2021)[dt.date(2021, 5, 24)] == "Victoria Day"
+
+
+def test_us_unchanged():
+    cal = us_federal_holidays(2024)
+    assert cal[dt.date(2024, 1, 15)] == "Martin Luther King Jr. Day"
+    assert cal[dt.date(2024, 11, 28)] == "Thanksgiving"
