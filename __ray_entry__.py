@@ -860,6 +860,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _nan_to_null(ds, ["entropy", "trend_strength", "seasonal_strength",
                                  "acf10", "diff1_acf1", "diff2_acf1"])
 
+    def ts_features_ext(sf_dir):
+        # SQL-expressible slice of the round-2 feature set: arch_lm with ONE
+        # lag (univariate OLS R^2 == corr^2), KPSS level stat, Phillips-
+        # Perron Z_alpha, full-series R/S hurst
+        from pytimetk_ray.ops.ts_features import ts_features as tsf
+
+        ds = tsf(_events(sf_dir), "ts", "value", by=["user_id"],
+                 features=["length", "arch_lm", "unitroot_kpss",
+                           "unitroot_pp", "hurst"], arch_lags=1)
+        return _round_cols(ds, ["arch_lm", "unitroot_kpss", "unitroot_pp",
+                                "hurst"])
+
     def frequency_summary(sf_dir):
         from pytimetk_ray.ops.frequency import frequency_summary_by
 
@@ -983,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_folds_backward": cv_folds_backward,
         "ts_features": ts_features_q,
         "ts_features_full": ts_features_full,
+        "ts_features_ext": ts_features_ext,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
@@ -1878,6 +1891,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, f.fold, 'test'
             FROM events e JOIN folds f
               ON e.ts >= f.tr_e AND e.ts < f.tr_e + INTERVAL 3 DAY
+        """,
+        "ts_features_ext": """
+            WITH v AS (
+                SELECT user_id, CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS i,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       AVG(value) OVER (PARTITION BY user_id) AS mu
+                FROM events
+            ),
+            kp AS (  -- demeaned series, KPSS partial sums, Bartlett lag l
+                SELECT user_id, i, n, x, x - mu AS e,
+                       SUM(x - mu) OVER (PARTITION BY user_id ORDER BY i) AS S,
+                       CAST(TRUNC(4 * POWER(n / 100.0, 0.25)) AS BIGINT) AS l
+                FROM v
+            ),
+            ar AS (  -- arch_lm with 1 lag: R^2 of intercept OLS = corr^2
+                SELECT a.user_id, POWER(CORR(a.e * a.e, b.e * b.e), 2) AS arch_lm
+                FROM kp a JOIN kp b ON b.user_id = a.user_id AND b.i = a.i - 1
+                GROUP BY 1
+            ),
+            js AS (SELECT UNNEST(generate_series(0,
+                       (SELECT MAX(l) FROM kp))) AS j),
+            gl AS (  -- autocovariances g_j = sum(e_t e_{t-j}) / n, j = 0..l
+                SELECT a.user_id, js.j, MAX(a.l) AS l,
+                       SUM(a.e * b.e) / MAX(a.n) AS gj
+                FROM js, kp a JOIN kp b
+                  ON b.user_id = a.user_id AND b.i = a.i - js.j
+                WHERE js.j <= a.l
+                GROUP BY 1, 2
+            ),
+            lrv AS (
+                SELECT user_id,
+                       SUM(CASE WHEN j = 0 THEN gj
+                                ELSE 2 * (1 - j / (l + 1.0)) * gj END) AS s2
+                FROM gl GROUP BY 1
+            ),
+            kpss AS (
+                SELECT kp.user_id,
+                       SUM(S * S) / (MAX(kp.n) * MAX(kp.n) * MAX(lrv.s2)) AS unitroot_kpss
+                FROM kp JOIN lrv ON lrv.user_id = kp.user_id
+                GROUP BY 1
+            ),
+            hs AS (  -- full-series R/S hurst
+                SELECT user_id, MAX(n) AS n, MAX(S) - MIN(S) AS r,
+                       SQRT(SUM(e * e) / MAX(n)) AS s
+                FROM kp GROUP BY 1
+            ),
+            hurst AS (
+                SELECT user_id, LN(r / s) / LN(n) AS hurst FROM hs
+            ),
+            pp0 AS (  -- (y_t, y_{t-1}) pairs for the PP regression
+                SELECT a.user_id, a.i, a.x AS y, b.x AS y1, a.n - 1 AS m
+                FROM v a JOIN v b ON b.user_id = a.user_id AND b.i = a.i - 1
+            ),
+            ppa AS (
+                SELECT user_id, AVG(y) AS ybar, AVG(y1) AS y1bar, MAX(m) AS m
+                FROM pp0 GROUP BY 1
+            ),
+            ppr AS (  -- rho / intercept terms, demeaned case
+                SELECT p.user_id,
+                       SUM((p.y1 - a.y1bar) * (p.y - a.ybar))
+                         / SUM((p.y1 - a.y1bar) * (p.y1 - a.y1bar)) AS rho,
+                       SUM((p.y1 - a.y1bar) * (p.y1 - a.y1bar)) AS dx,
+                       MAX(a.ybar) AS ybar, MAX(a.y1bar) AS y1bar, MAX(p.m) AS m
+                FROM pp0 p JOIN ppa a ON a.user_id = p.user_id
+                GROUP BY 1
+            ),
+            ppu AS (  -- regression residuals + Bartlett lag for them
+                SELECT p.user_id, p.i,
+                       p.y - (r.ybar - r.rho * r.y1bar) - r.rho * p.y1 AS u,
+                       r.m, r.rho, r.dx,
+                       CAST(TRUNC(4 * POWER(r.m / 100.0, 0.25)) AS BIGINT) AS l
+                FROM pp0 p JOIN ppr r ON r.user_id = p.user_id
+            ),
+            pjs AS (SELECT UNNEST(generate_series(0,
+                        (SELECT MAX(l) FROM ppu))) AS j),
+            pgl AS (
+                SELECT a.user_id, pjs.j, MAX(a.l) AS l, MAX(a.m) AS m,
+                       MAX(a.rho) AS rho, MAX(a.dx) AS dx,
+                       SUM(a.u * b.u) / MAX(a.m) AS gj
+                FROM pjs, ppu a JOIN ppu b
+                  ON b.user_id = a.user_id AND b.i = a.i - pjs.j
+                WHERE pjs.j <= a.l
+                GROUP BY 1, 2
+            ),
+            pp AS (
+                SELECT user_id,
+                       MAX(m) * (MAX(rho) - 1)
+                       - MAX(m) * MAX(m)
+                         * (SUM(CASE WHEN j = 0 THEN gj
+                                     ELSE 2 * (1 - j / (l + 1.0)) * gj END)
+                            - MAX(CASE WHEN j = 0 THEN gj END))
+                         / (2 * MAX(dx)) AS unitroot_pp
+                FROM pgl GROUP BY 1
+            )
+            SELECT v2.user_id, v2.n AS length,
+                   ROUND(ar.arch_lm, 6)        AS arch_lm,
+                   ROUND(kpss.unitroot_kpss, 6) AS unitroot_kpss,
+                   ROUND(pp.unitroot_pp, 6)     AS unitroot_pp,
+                   ROUND(hurst.hurst, 6)        AS hurst
+            FROM (SELECT DISTINCT user_id, n FROM v) v2
+            JOIN ar    ON ar.user_id = v2.user_id
+            JOIN kpss  ON kpss.user_id = v2.user_id
+            JOIN pp    ON pp.user_id = v2.user_id
+            JOIN hurst ON hurst.user_id = v2.user_id
         """,
         "cv_folds_backward": """
             WITH t0 AS (SELECT MAX(ts) AS hi FROM events),

@@ -53,7 +53,7 @@ from pytimetk_ray.ops.frequency import (
 )
 from pytimetk_ray.ops.sessions import augment_sessions
 from pytimetk_ray.ops.spline import augment_spline
-from pytimetk_ray.ops.stubs import ts_features
+from pytimetk_ray.ops.ts_features import ts_features
 from pytimetk_ray.ops.regime import augment_regime_detection
 from pytimetk_ray.ops.finance import (
     augment_adx,
