@@ -661,6 +661,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "user_id", "value_hilbert_real",
                                   "value_hilbert_imag"])
 
+    def hilbert_sql(sf_dir):
+        # oracle-checked: the SQL recomputes the analytic signal by the
+        # O(n^2) DFT definition (trig sums); round-4 absorbs FFT-vs-naive
+        # float noise at these magnitudes
+        ds = augment_hilbert(_events(sf_dir), ["user_id"], ["ts"], "value")
+        ds = _round_cols(ds, ["value_hilbert_real", "value_hilbert_imag"],
+                         digits=4)
+        return ds.select_columns(["event_id", "user_id", "value_hilbert_real",
+                                  "value_hilbert_imag"])
+
+    def wavelet_sql(sf_dir):
+        # scales 2 and 4 keep the Morlet kernel width (20/40) below every
+        # user's series length, so the kernel is a global constant list the
+        # SQL convolution can mirror term-for-term
+        from pytimetk_ray.ops.signal import augment_wavelet
+
+        ds = augment_wavelet(_events(sf_dir), ["user_id"], ["ts"], "value",
+                             scales=(2, 4))
+        cols = ["value_wavelet_morlet_scale_2", "value_wavelet_morlet_scale_4"]
+        ds = _round_cols(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
     def holiday_signature(sf_dir):
         ds = augment_holiday_signature(_events(sf_dir), "ts", concurrency=2)
         ds = _cast_int64(ds, ["is_holiday", "before_holiday", "after_holiday"])
@@ -788,6 +810,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = augment_spline(_events(sf_dir), "value", df=5, degree=3)
         cols = [c for c in ds.schema().names if c.startswith("value_spline_")]
         ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id"] + cols)
+
+    def spline_sql(sf_dir):
+        # explicit interior knots + boundary knots -> fully SQL-reproducible
+        # Cox-de Boor recursion (generated CTE chain)
+        from pytimetk_ray.ops.spline import augment_spline
+
+        ds = augment_spline(_events(sf_dir), "value", df=5, degree=3,
+                            knots=[100.0, 250.0], boundary_knots=(0.0, 500.0))
+        cols = [f"value_spline_{i}" for i in range(1, 6)]
+        ds = _round_cols(ds, cols)
         return ds.select_columns(["event_id"] + cols)
 
     def wavelet(sf_dir):
@@ -975,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diag_stl_sql": diag_stl_sql,
         "diag_stl_loess": diag_stl_loess,
         "hilbert": hilbert,
+        "hilbert_sql": hilbert_sql,
+        "wavelet_sql": wavelet_sql,
         "holiday_signature": holiday_signature,
         "holiday_signature_multi": holiday_signature_multi,
         "corr_funnel": corr_funnel,
@@ -988,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_apply": rolling_apply,
         "expanding_apply": expanding_apply,
         "spline": spline,
+        "spline_sql": spline_sql,
         "wavelet": wavelet,
         "seasonal_diag": seasonal_diag,
         "frequency_summary": frequency_summary,
@@ -1129,6 +1165,141 @@ def _stl_chain_sql(period: int = 7, ns: int = 7, nt: int = 15, nl: int = 7) -> s
                    d.y - d.s - tr.fit  AS remainder
             FROM deseas d JOIN tr ON tr.user_id = d.user_id AND tr.t = d.pos
         )"""
+
+
+def _bspline_sql(knots, lo, hi, degree=3, df=5, digits=6) -> str:
+    """DuckDB oracle for augment_spline with EXPLICIT interior knots: expand
+    the Cox-de Boor recursion (ops/spline.bspline_basis) symbolically into a
+    CTE chain, mirroring the numpy term order (left term, then + right term)
+    and the right-closed last nonzero interval."""
+    t = [float(lo)] * (degree + 1) + [float(k) for k in knots] + [float(hi)] * (degree + 1)
+    nz = [j for j in range(len(t) - 1) if t[j + 1] > t[j]]
+    last_nz = nz[-1]
+    x = f"LEAST(GREATEST(CAST(value AS DOUBLE), {lo!r}), {hi!r})"
+    # level 0: indicators; track identically-zero columns to shrink the SQL
+    cols = {}
+    zero = set()
+    b0 = []
+    for j in range(len(t) - 1):
+        if t[j + 1] <= t[j]:
+            zero.add((0, j))
+            continue
+        hi_op = "<=" if j == last_nz else "<"
+        b0.append(f"CASE WHEN x >= {t[j]!r} AND x {hi_op} {t[j + 1]!r} "
+                  f"THEN 1.0 ELSE 0.0 END AS b0_{j}")
+        cols[(0, j)] = f"b0_{j}"
+    ctes = [f"b0 AS (SELECT event_id, {x} AS x FROM events)",
+            f"l0 AS (SELECT event_id, x, {', '.join(b0)} FROM b0)"]
+    prev = "l0"
+    for d in range(1, degree + 1):
+        exprs = []
+        nb = len(t) - d - 1
+        for j in range(nb):
+            terms = []
+            left_den = t[j + d] - t[j]
+            right_den = t[j + d + 1] - t[j + 1]
+            if left_den > 0 and (d - 1, j) not in zero:
+                terms.append(f"(x - {t[j]!r}) / {left_den!r} * {cols[(d - 1, j)]}")
+            if right_den > 0 and (d - 1, j + 1) not in zero:
+                terms.append(f"({t[j + d + 1]!r} - x) / {right_den!r} * "
+                             f"{cols[(d - 1, j + 1)]}")
+            if not terms:
+                zero.add((d, j))
+                continue
+            exprs.append(f"{' + '.join(terms)} AS b{d}_{j}")
+            cols[(d, j)] = f"b{d}_{j}"
+        ctes.append(f"l{d} AS (SELECT event_id, x, {', '.join(exprs)} FROM {prev})")
+        prev = f"l{d}"
+    outs = []
+    for i in range(df):
+        c = cols.get((degree, i))
+        outs.append(f"ROUND({c if c else '0.0'}, {digits}) AS value_spline_{i + 1}")
+    return f"WITH {', '.join(ctes)} SELECT event_id, {', '.join(outs)} FROM {prev}"
+
+
+def _hilbert_sql(digits: int = 4) -> str:
+    """DuckDB oracle for the analytic signal by the O(n^2) DFT definition:
+    F_k = sum_s x_s e^{-2pi i ks/n}; a_t = (1/n) sum_k h_k F_k e^{2pi i kt/n}
+    with the scipy.signal.hilbert h multiplier (1 at DC/Nyquist, 2 on
+    positive frequencies, 0 on negative)."""
+    return f"""
+        WITH ix AS (
+            SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        ks AS (SELECT UNNEST(generate_series(0,
+                   (SELECT MAX(n) FROM ix) - 1)) AS k),
+        F AS (
+            SELECT a.user_id, ks.k, MAX(a.n) AS n,
+                   SUM(a.x * COS(2 * PI() * ks.k * a.i / a.n)) AS fr,
+                   SUM(-a.x * SIN(2 * PI() * ks.k * a.i / a.n)) AS fi
+            FROM ks, ix a WHERE ks.k < a.n
+            GROUP BY 1, 2
+        ),
+        H AS (
+            SELECT user_id, k, n, fr, fi,
+                   CASE WHEN k = 0 THEN 1.0
+                        WHEN n % 2 = 0 AND k = n // 2 THEN 1.0
+                        WHEN n % 2 = 0 AND k < n // 2 THEN 2.0
+                        WHEN n % 2 = 1 AND k <= (n - 1) // 2 THEN 2.0
+                        ELSE 0.0 END AS h
+            FROM F
+        )
+        SELECT e.event_id, e.user_id,
+               ROUND(SUM(H.h * (H.fr * COS(2 * PI() * H.k * e.i / e.n)
+                                - H.fi * SIN(2 * PI() * H.k * e.i / e.n)))
+                     / MAX(e.n), {digits}) AS value_hilbert_real,
+               ROUND(SUM(H.h * (H.fr * SIN(2 * PI() * H.k * e.i / e.n)
+                                + H.fi * COS(2 * PI() * H.k * e.i / e.n)))
+                     / MAX(e.n), {digits}) AS value_hilbert_imag
+        FROM ix e JOIN H ON H.user_id = e.user_id
+        GROUP BY e.event_id, e.user_id
+    """
+
+
+def _wavelet_sql(scales=(2, 4), w0: float = 5.0, digits: int = 6) -> str:
+    """DuckDB oracle for the Morlet CWT magnitude at fixed scales: the
+    complex kernel values (ops/signal._morlet) are emitted as literal
+    constants and the zero-padded 'same' convolution becomes an offset
+    join: out_t = |sum_m w[m] * x[t + (width-1)//2 - m]|."""
+    import numpy as np
+
+    parts = []
+    for s in scales:
+        width = int(10 * s)
+        t = np.arange(-(width // 2), width - width // 2) / s
+        wave = (np.exp(1j * w0 * t) * np.exp(-(t**2) / 2)) / np.sqrt(s)
+        rows = ", ".join(f"({m}, {wave.real[m]!r}, {wave.imag[m]!r})"
+                         for m in range(width))
+        c = (width - 1) // 2
+        parts.append(f"""
+        k{s}(m, wr, wi) AS (VALUES {rows}),
+        o{s} AS (
+            SELECT e.event_id,
+                   SQRT(POWER(SUM(k.wr * b.x), 2)
+                        + POWER(SUM(k.wi * b.x), 2)) AS mag
+            FROM ix e
+            JOIN k{s} k ON TRUE
+            JOIN ix b ON b.user_id = e.user_id AND b.i = e.i + {c} - k.m
+            GROUP BY e.event_id
+        )""")
+    sel = ", ".join(
+        f"ROUND(o{s}.mag, {digits}) AS value_wavelet_morlet_scale_{s}"
+        for s in scales)
+    joins = " ".join(f"JOIN o{s} ON o{s}.event_id = ix.event_id"
+                     for s in scales)
+    return f"""
+        WITH ix AS (
+            SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+            FROM events
+        ),
+        {','.join(parts)}
+        SELECT ix.event_id, ix.user_id, {sel}
+        FROM ix {joins}
+    """
 
 
 def _np_quantile_cte(tag: str, src: str, xcol: str, q: float) -> str:
@@ -1892,6 +2063,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN folds f
               ON e.ts >= f.tr_e AND e.ts < f.tr_e + INTERVAL 3 DAY
         """,
+        "spline_sql": _bspline_sql([100.0, 250.0], 0.0, 500.0),
+        "hilbert_sql": _hilbert_sql(),
+        "wavelet_sql": _wavelet_sql(),
         "ts_features_ext": """
             WITH v AS (
                 SELECT user_id, CAST(value AS DOUBLE) AS x,

@@ -5,9 +5,12 @@ knots params; one basis column per function).  The reference uses patsy;
 neither patsy nor scipy is in this environment, so the basis is computed
 with the textbook Cox-de Boor recursion in numpy.
 
-Knot placement from GLOBAL quantiles needs one small pre-pass aggregate
-(driver-side collect of the knot column's quantiles — a handful of floats),
-then the basis evaluation is a stateless vectorized ``map_batches``."""
+Knot placement (patsy ``bs`` convention): ``knots`` are INTERIOR knots;
+boundary knots default to the column's min/max.  The pre-pass is scale-safe:
+min/max come from a Ray aggregate, and default quantile knots come from a
+BOUNDED random sample (exact when the dataset is smaller than the sample
+cap) — the full column never lands on the driver.  Basis evaluation is a
+stateless vectorized ``map_batches``."""
 
 from __future__ import annotations
 
@@ -62,11 +65,14 @@ def augment_spline(
     df: int = 5,
     degree: int = 3,
     knots: np.ndarray | list | None = None,
+    boundary_knots: tuple[float, float] | None = None,
+    sample_cap: int = 250_000,
 ) -> rd.Dataset:
     """Append ``{column}_spline_{i}`` basis columns (i = 1..df).
 
-    ``df`` sets the number of basis functions; interior knots default to
-    global quantiles of the column (timestamps are converted to epoch
+    ``df`` sets the number of basis functions; ``knots`` are INTERIOR knots
+    (patsy bs convention) defaulting to quantiles of the column; boundary
+    knots default to the column min/max (timestamps are converted to epoch
     seconds first)."""
     n_interior = max(df - degree - 1, 0) if knots is None else len(knots)
 
@@ -75,18 +81,36 @@ def augment_spline(
             return s.astype("datetime64[ns]").astype(np.int64) / 1e9
         return s.to_numpy(dtype=np.float64)
 
-    if knots is None:
-        col = ds.select_columns([column]).to_pandas()[column]
-        x_all = to_float(col)
-        if n_interior > 0:
+    def _scalar(v) -> float:
+        if isinstance(v, (np.datetime64, pd.Timestamp)):
+            return float(pd.Timestamp(v).value) / 1e9
+        return float(v)
+
+    if knots is None or boundary_knots is None:
+        if boundary_knots is None:
+            from ray.data.aggregate import Max, Min
+
+            stats = ds.aggregate(Min(column), Max(column))
+            lo = _scalar(stats[f"min({column})"])
+            hi = _scalar(stats[f"max({column})"])
+        else:
+            lo, hi = float(boundary_knots[0]), float(boundary_knots[1])
+        if knots is None and n_interior > 0:
+            # bounded sample for quantile knots (exact when n <= sample_cap)
+            n = ds.count()
+            col_ds = ds.select_columns([column])
+            if n > sample_cap:
+                col_ds = col_ds.random_sample(sample_cap / n, seed=0)
+            x_all = to_float(col_ds.to_pandas()[column])
             qs = np.linspace(0, 1, n_interior + 2)[1:-1]
             knots_arr = np.quantile(x_all, qs)
-        else:
+        elif knots is None:
             knots_arr = np.array([])
-        lo, hi = float(x_all.min()), float(x_all.max())
+        else:
+            knots_arr = np.asarray(knots, dtype=np.float64)
     else:
         knots_arr = np.asarray(knots, dtype=np.float64)
-        lo, hi = float(knots_arr.min()), float(knots_arr.max())
+        lo, hi = float(boundary_knots[0]), float(boundary_knots[1])
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         x = np.clip(to_float(batch[column]), lo, hi)
