@@ -1383,6 +1383,22 @@ def _anomalize_stl_sql(digits: int = 4, k: float = 0.15 / 0.05,
 
 
 def oracle_sql() -> dict[str, str]:
+    # Inlined constants for the sketch-dedup / LSH oracles: the MinHash
+    # permutation params (minhash_params(64, 1)) and the 4x64 LSH hyperplanes
+    # (default_rng(5).normal) are deterministic; embedding them as SQL
+    # literals makes the full sketch pipelines DuckDB-reproducible
+    # (md5_number_lower == kernels.text.md5_u64; HUGEINT (a*x+b) % (2^61-1)
+    # == minhash_signature_exact's Mersenne modmul).
+    from pytimetk_ray.kernels.text import minhash_params as _mp
+
+    _a, _b = _mp(64, 1)
+    _perm_vals = ",".join(f"({i},{int(_a[i])},{int(_b[i])})" for i in range(64))
+    _planes = np.random.default_rng(5).normal(size=(4, 64))
+    _lsh_bucket_expr = " + ".join(
+        "{m}*(CASE WHEN list_dot_product(e, [{p}]) > 0 THEN 1 ELSE 0 END)".format(
+            m=1 << i, p=",".join(repr(float(x)) for x in _planes[i]))
+        for i in range(4)
+    )
     return {
         "summarize_by_time_hour": """
             SELECT user_id,
@@ -1690,6 +1706,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
         """,
+
+        # full md5 MinHash-LSH sketch in SQL: shingle strings ->
+        # md5_number_lower u64 -> HUGEINT (a*x+b) mod Mersenne61 minima ->
+        # 8 bands of 8 rows -> banded candidates -> signature-estimated
+        # Jaccard (k/64 dyadic exact, safe unrounded) >= 0.5
+        "dedup_minhash": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                FROM toks WHERE len(ws) >= 3
+            ),
+            sh AS (
+                SELECT doc_id,
+                       md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+                FROM idx
+                UNION ALL
+                SELECT doc_id, md5_number_lower(array_to_string(ws, ' '))
+                FROM toks WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            perm(pi, a, b) AS (VALUES __PERM_VALS__),
+            sig AS (
+                SELECT doc_id, pi,
+                       MIN((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                           % 2305843009213693951) AS mh
+                FROM sh, perm GROUP BY doc_id, pi
+            ),
+            band AS (
+                SELECT doc_id, pi // 8 AS band_id,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
+                FROM sig GROUP BY doc_id, pi // 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band_id = y.band_id AND x.bkey = y.bkey
+                 AND x.doc_id < y.doc_id
+            ),
+            est AS (
+                SELECT c.id_a, c.id_b,
+                       AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.pi = sa.pi
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """.replace("__PERM_VALS__", _perm_vals),
+
+        # full md5 SimHash in SQL: per-word md5 u64 -> 64 bit-votes ->
+        # signature -> 4x16-bit bands -> banded pairs with Hamming <= 3
+        "dedup_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+                FROM documents
+            ),
+            wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM toks),
+            acc AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM wh CROSS JOIN generate_series(0, 63) AS t(b)
+                GROUP BY doc_id, b
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN votes > 0
+                                THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                                ELSE 0 END) AS UBIGINT) AS sh
+                FROM acc GROUP BY doc_id
+            ),
+            band AS (
+                SELECT doc_id, bi, (sh >> (bi*16)) & 65535 AS bkey, sh
+                FROM sig CROSS JOIN generate_series(0, 3) AS t(bi)
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                       x.sh AS ha, y.sh AS hb
+                FROM band x JOIN band y
+                  ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+
+        # hyperplane-LSH near-dup: bucket = 4 sign bits of dot(e, plane_i)
+        # (planes inlined above), pairs within a bucket with cosine >= 0.2
+        "embedding_neardup_lsh": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            buck AS (
+                SELECT vec_id, e, __BUCKET__ AS bucket FROM emb
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM buck a JOIN buck b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.2
+        """.replace("__BUCKET__", _lsh_bucket_expr),
 
         "doc_langid": r"""
             WITH w AS (

@@ -151,6 +151,78 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+# --- DuckDB-matchable md5 hashing (oracle-checkable sketch path) -----------
+
+
+def md5_u64(s: str) -> int:
+    """uint64 hash matching DuckDB ``md5_number_lower(s)`` exactly:
+    bytes 8..16 of the md5 digest, little-endian."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def md5_u64_many(strings) -> np.ndarray:
+    return np.fromiter((md5_u64(s) for s in strings), dtype=np.uint64,
+                       count=len(strings))
+
+
+def shingle_strings(text: str, k: int = 3) -> list[str]:
+    """Word k-shingle strings (space-joined); <k words -> one joined shingle;
+    no words -> [].  Mirrors the SQL generate_series shingle expansion."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return []
+    if len(words) < k:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61 - 1) in uint64 numpy without overflow, via 31-bit
+    limb splitting and 2^61 === 1 (mod p).  a, x must be < p."""
+    p = np.uint64(_MERSENNE)
+    a1, a0 = a >> np.uint64(31), a & np.uint64(0x7FFFFFFF)
+    x1, x0 = x >> np.uint64(31), x & np.uint64(0x7FFFFFFF)
+    # a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
+    t_hi = (a1 * x1) % p  # < p; *2^62 === *2 (mod p)
+    hi = (t_hi * np.uint64(2)) % p
+    mid = (a1 * x0 + a0 * x1) % p  # each product < 2^61, sum < 2^62? no:
+    # a1,x1 < 2^30 and a0,x0 < 2^31 -> each product < 2^61, sum < 2^62 which
+    # overflows-safe in uint64 (max 2^62 < 2^64)
+    # mid*2^31 mod p: split mid = m1*2^30 + m0
+    m1, m0 = mid >> np.uint64(30), mid & np.uint64(0x3FFFFFFF)
+    mid = (m1 + (m0 << np.uint64(31))) % p  # m1*2^61 === m1; m0*2^31 < 2^61
+    lo = (a0 * x0) % p
+    return (hi + mid + lo) % p
+
+
+def minhash_signature_exact(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True (a*x + b) mod (2^61-1) minima — matches DuckDB HUGEINT
+    arithmetic (unlike ``minhash_signature``'s uint64-wrap mix).  ``x`` are
+    raw uint64 hashes (reduced mod p here); empty input -> all-max sentinel."""
+    if len(x) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    p = np.uint64(_MERSENNE)
+    xm = x.astype(np.uint64, copy=False) % p
+    # broadcast all permutations at once: (P, n) elementwise modmul
+    prod = mulmod61(a.astype(np.uint64)[:, None], xm[None, :])
+    return ((prod + b.astype(np.uint64)[:, None]) % p).min(axis=1)
+
+
+def simhash_md5(text: str) -> int:
+    """64-bit SimHash over md5_u64 word hashes (multiset votes) — the
+    DuckDB-matchable variant of ``simhash``."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    wh = md5_u64_many(words)
+    bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(wh)
+    out = 0
+    for bit in np.flatnonzero(acc > 0):
+        out |= 1 << int(bit)
+    return out
+
+
 # --- MinHash ---------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -113,6 +113,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    hasher: str = "md5",
     num_partitions: int = DEDUP_PARTITIONS,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
@@ -122,15 +123,28 @@ def minhash_lsh_pairs(
     buckets per task, typical bucket size 1-2); the cross-band pair dedup is
     one vectorized ``drop_duplicates`` per (id_a,)-keyed partition — the
     estimated Jaccard of a pair is band-independent (computed from the full
-    signature), so keeping any one surfaced row is deterministic."""
+    signature), so keeping any one surfaced row is deterministic.
+
+    ``hasher="md5"`` (default) hashes shingle STRINGS with the DuckDB-
+    matchable ``md5_number_lower`` u64 and applies TRUE (a*x+b) mod (2^61-1)
+    permutations — the whole sketch is reproducible in SQL (HUGEINT modmul),
+    so the pipeline is oracle-checkable end to end; zero-shingle docs are
+    skipped (absent from the SQL shingle expansion).  ``hasher="fast"`` is
+    the cheaper pandas-hash + uint64-wrap mix (not SQL-reproducible)."""
     a, b = tx.minhash_params(num_perm, seed)
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         ids, bands, band_hashes, sigs = [], [], [], []
         for doc_id, text in zip(batch[id_column], batch[text_column]):
-            sig = tx.minhash_signature(
-                tx.shingle_hashes(tx.word_hashes(text), shingle_k), a, b
-            )
+            if hasher == "md5":
+                sh = tx.shingle_strings(text, shingle_k)
+                if not sh:
+                    continue
+                sig = tx.minhash_signature_exact(tx.md5_u64_many(sh), a, b)
+            else:
+                sig = tx.minhash_signature(
+                    tx.shingle_hashes(tx.word_hashes(text), shingle_k), a, b
+                )
             for band_id, bh in enumerate(tx.minhash_bands(sig, num_bands)):
                 ids.append(doc_id)
                 bands.append(band_id)
@@ -344,16 +358,27 @@ def simhash_pairs(
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
+    hasher: str = "md5",
     num_partitions: int = DEDUP_PARTITIONS,
 ) -> rd.Dataset:
     """Near-dup pairs by 64-bit SimHash, banded 4x16 bits (any pair within
     Hamming distance 3 shares at least one exact 16-bit band).  Same
-    partitioned bucket-segment shape as MinHash."""
+    partitioned bucket-segment shape as MinHash.
+
+    ``hasher="md5"`` (default) votes with DuckDB-matchable
+    ``md5_number_lower`` word hashes — SQL-reproducible end to end (wordless
+    docs skipped, mirroring the SQL word expansion); ``hasher="fast"`` uses
+    the cheaper pandas word hash."""
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         ids, bands, keys, hashes = [], [], [], []
         for doc_id, text in zip(batch[id_column], batch[text_column]):
-            h = tx.simhash(text)
+            if hasher == "md5":
+                if not tx._WORD_RE.search((text or "").lower()):
+                    continue
+                h = tx.simhash_md5(text)
+            else:
+                h = tx.simhash(text)
             for band_id in range(4):
                 ids.append(doc_id)
                 bands.append(band_id)
