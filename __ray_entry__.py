@@ -359,6 +359,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = score_documents(_docs(sf_dir), concurrency=2, with_fingerprint=False)
         return ds.select_columns(["doc_id", "lang_pred"])
 
+    # --- corpus training-data ops (pipelines/corpus.py) ---------------------
+
+    def vocab_topk(sf_dir):
+        # distributed token frequency with per-batch partial aggregation
+        from pytimetk_ray.pipelines.corpus import vocab_topk as _vt
+
+        return _vt(_docs(sf_dir), top_n=50)
+
+    def doc_hash_split(sf_dir):
+        # deterministic md5 train/val/test assignment (DuckDB md5 parity)
+        from pytimetk_ray.pipelines.corpus import hash_split
+
+        return hash_split(_docs(sf_dir))
+
+    def docs_topk_per_lang(sf_dir):
+        # per-group top-k with partial top-k pruning before the shuffle
+        from pytimetk_ray.pipelines.corpus import topk_per_group
+
+        return topk_per_group(_docs(sf_dir), k=5)
+
+    def pack_sequences(sf_dir):
+        # greedy token-budget context packing, shard = doc_id % 8
+        from pytimetk_ray.pipelines.corpus import pack_sequences as _ps
+
+        return _ps(_docs(sf_dir), budget=512, num_shards=8)
+
+    def doc_unigram_logprob(sf_dir):
+        # two-pass unigram LM score: broadcast top-V vocab, stateless scorer
+        from pytimetk_ray.pipelines.corpus import unigram_logprob
+
+        return _round_cols(unigram_logprob(_docs(sf_dir), vocab_size=256),
+                           ["logprob"])
+
     def dedup_jaccard(sf_dir):
         # exact all-pairs word-3-shingle Jaccard via distributed inverted
         # index; unrounded p/q doubles are engine-bit-identical
@@ -974,6 +1007,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "doc_token_count": doc_token_count,
         "doc_fingerprint": doc_fingerprint,
+        "vocab_topk": vocab_topk,
+        "doc_hash_split": doc_hash_split,
+        "docs_topk_per_lang": docs_topk_per_lang,
+        "pack_sequences": pack_sequences,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
@@ -1591,6 +1629,73 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,
+        "vocab_topk": r"""
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[\w'']+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS cnt FROM w
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        """,
+
+        "doc_hash_split": r"""
+            SELECT doc_id,
+                   CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+
+        "docs_topk_per_lang": r"""
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+
+        # greedy first-fit packing as a per-shard recursive recurrence
+        # (one doc per recursion step per shard, shards advance in parallel)
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            packed AS (
+                SELECT shard, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN p.fill + d.n_tokens <= 512 THEN p.bin_id
+                            ELSE p.bin_id + 1 END,
+                       CASE WHEN p.fill + d.n_tokens <= 512
+                            THEN p.fill + d.n_tokens ELSE d.n_tokens END
+                FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin_id, n_tokens FROM packed
+        """,
+
+        "doc_unigram_logprob": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[\w'']+')) AS token
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS total FROM w),
+            cnts AS (SELECT token, COUNT(*) AS cnt FROM w GROUP BY token),
+            topv AS (SELECT token, cnt FROM cnts ORDER BY cnt DESC, token LIMIT 256)
+            SELECT w.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(COALESCE(t.cnt, 1) / (SELECT total FROM tot))), 6) AS logprob
+            FROM w LEFT JOIN topv t USING (token)
+            GROUP BY w.doc_id
+        """,
+
         "doc_token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS token_count
             FROM documents

@@ -1,0 +1,252 @@
+"""Corpus-level training-data operations over a documents table.
+
+Beyond-reference components for LLM-scale data prep (the reference has no
+corpus operators at all — these are first-class engine features):
+
+- ``vocab_topk``: distributed token frequency with PARTIAL per-batch
+  aggregation before the keyed exchange (the combiner pattern: the shuffle
+  carries distinct (token, count) rows per batch, never token instances).
+- ``hash_split``: deterministic train/val/test assignment by md5 of the id —
+  reproducible across engines (DuckDB ``md5_number_lower`` parity), no RNG
+  state, stable under re-runs and resume.
+- ``topk_per_group``: per-group top-k with per-batch partial top-k pruning
+  ahead of the shuffle (each batch forwards at most groups*k candidate rows).
+- ``pack_sequences``: greedy token-budget sequence packing (the LLM context-
+  window fill) — deterministic shard = id % S, greedy first-fit in id order
+  within the shard; shards are independent => embarrassingly parallel.
+- ``unigram_logprob``: two-pass LM quality score — distributed vocabulary
+  counts, top-V table broadcast via ``ray.put`` (read once per actor), then
+  a stateless scoring pass.  The broadcast side is bounded by V, never by
+  corpus size.
+
+All are oracle-checkable in DuckDB (see __ray_entry__.oracle_sql): hashing
+uses md5_number_lower parity, packing is a per-shard recursive recurrence,
+token extraction shares the same regex surface as the SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from pytimetk_ray.exec import partitioned_group_map
+from pytimetk_ray.kernels import text as tx
+
+CORPUS_PARTITIONS = 32
+
+
+def _word_counts(texts) -> pd.Series:
+    toks: list[str] = []
+    for t in texts:
+        toks.extend(tx._WORD_RE.findall((t or "").lower()))
+    if not toks:
+        return pd.Series(dtype=np.int64)
+    return pd.Series(toks).value_counts(sort=False)
+
+
+def vocab_topk(ds: rd.Dataset, *, text_column: str = "text", top_n: int = 50,
+               num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
+    """Top-N corpus tokens by frequency, ties broken by token ascending.
+
+    Per-batch partial counts (one (token, cnt) row per DISTINCT token per
+    batch) -> keyed sum per token -> per-partition local top-N -> one tiny
+    final reduce over <= P*N rows.  The all-to-all carries the distinct-token
+    profile of each batch, not the token stream."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_counts(batch[text_column].tolist())
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def local_topn(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("token", as_index=False, sort=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(top_n)
+
+    def final_topn(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["cnt", "token"], ascending=[False, True],
+                                kind="mergesort")
+        return part.head(top_n).reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    per_part = partitioned_group_map(partials, ["token"], local_topn,
+                                     sort_by=["token"],
+                                     num_partitions=num_partitions)
+    return partitioned_group_map(per_part, [], final_topn, sort_by=None,
+                                 num_partitions=1)
+
+
+def token_totals(ds: rd.Dataset, *, text_column: str = "text",
+                 num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
+    """(token, cnt) totals over the corpus (partial-agg combine shape)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_counts(batch[text_column].tolist())
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def reduce_sum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("token", as_index=False, sort=False)["cnt"].sum()
+
+    return partitioned_group_map(ds.map_batches(partial, batch_format="pandas"),
+                                 ["token"], reduce_sum, sort_by=["token"],
+                                 num_partitions=num_partitions)
+
+
+def hash_split(ds: rd.Dataset, *, id_column: str = "doc_id",
+               train_pct: int = 90, val_pct: int = 5) -> rd.Dataset:
+    """Deterministic split assignment: bucket = md5(id_str) % 100;
+    train < train_pct <= val < train_pct+val_pct <= test.
+
+    Stateless ``map_batches`` — no RNG, no shuffle; the SAME doc always
+    lands in the same split on any cluster size or resume (DuckDB
+    ``md5_number_lower(CAST(id AS VARCHAR)) % 100`` parity)."""
+    hi_val = train_pct + val_pct
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy()
+        bucket = np.fromiter(
+            (tx.md5_u64(str(int(i))) % 100 for i in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.where(bucket < train_pct, "train",
+                         np.where(bucket < hi_val, "val", "test"))
+        return pd.DataFrame({id_column: ids, "bucket": bucket,
+                             "split": split.astype(object)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def topk_per_group(ds: rd.Dataset, *, group_column: str = "lang",
+                   score_column: str = "n_chars", id_column: str = "doc_id",
+                   k: int = 5,
+                   num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
+    """Top-k rows per group by (score desc, id asc).
+
+    Per-BATCH partial top-k prunes before the shuffle: each batch forwards
+    at most (groups-in-batch * k) candidate rows, so the exchange is bounded
+    by k * |groups| * num_blocks, not by corpus size."""
+    cols = [group_column, id_column, score_column]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[cols].sort_values(
+            [group_column, score_column, id_column],
+            ascending=[True, False, True], kind="mergesort")
+        return b.groupby(group_column, sort=False).head(k)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            [group_column, score_column, id_column],
+            ascending=[True, False, True], kind="mergesort")
+        return part.groupby(group_column, sort=False).head(k).reset_index(drop=True)
+
+    return partitioned_group_map(ds.map_batches(partial, batch_format="pandas"),
+                                 [group_column], final, sort_by=None,
+                                 num_partitions=num_partitions)
+
+
+def pack_sequences(ds: rd.Dataset, *, id_column: str = "doc_id",
+                   text_column: str = "text", budget: int = 1024,
+                   num_shards: int = 8,
+                   num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
+    """Greedy first-fit sequence packing into token-budget bins.
+
+    shard = id % num_shards (deterministic, SQL-expressible); docs are
+    packed in ascending id order within their shard: a doc joins the current
+    bin iff fill + n_tokens <= budget, else opens the next bin (an oversize
+    doc occupies its own bin).  Shards are independent — the packing
+    parallelism knob at 100 TB is num_shards, and the output is reproducible
+    on any cluster size.  Output: (doc_id, shard, bin_id, n_tokens)."""
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_column: ids,
+            "shard": ids % num_shards,
+            "n_tokens": tx.token_count(batch[text_column].tolist()),
+        })
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        # whole shards per task (partition key = shard); greedy scan is
+        # inherently sequential per shard — O(rows) with numpy array access
+        out_bin = np.empty(len(part), dtype=np.int64)
+        shards = part["shard"].to_numpy()
+        ns = part["n_tokens"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, shards[1:] != shards[:-1]])
+        bounds = np.append(starts, len(part))
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            bin_id, fill = 0, 0
+            first = True
+            for i in range(lo, hi):
+                n = ns[i]
+                if first:
+                    fill = n
+                    first = False
+                elif fill + n <= budget:
+                    fill += n
+                else:
+                    bin_id += 1
+                    fill = n
+                out_bin[i] = bin_id
+        part = part.copy()
+        part["bin_id"] = out_bin
+        return part
+
+    return partitioned_group_map(
+        ds.map_batches(tokenize, batch_format="pandas"),
+        ["shard"], pack, sort_by=["shard", id_column],
+        num_partitions=num_partitions,
+    )
+
+
+def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
+                    text_column: str = "text", vocab_size: int = 256,
+                    num_partitions: int = CORPUS_PARTITIONS,
+                    concurrency: int = 4) -> rd.Dataset:
+    """Per-doc unigram LM quality score: mean ln p(token) over the doc's
+    tokens, p = cnt/total for the top-V vocabulary, 1/total for OOV.
+
+    Two passes: (1) distributed token totals (partial-agg combine), top-V +
+    grand total collected (V rows — BOUNDED, independent of corpus size) and
+    broadcast via ``ray.put``; (2) stateless actor-pool scoring pass reading
+    the broadcast once per actor.  Docs with no tokens are dropped (mirrors
+    the SQL token expansion).  Output: (doc_id, n_tokens, logprob)."""
+    totals = token_totals(ds, text_column=text_column,
+                          num_partitions=num_partitions)
+    total_tokens = int(totals.sum("cnt"))
+    top = (totals.to_pandas()
+           .sort_values(["cnt", "token"], ascending=[False, True],
+                        kind="mergesort")
+           .head(vocab_size))
+    logp = {t: float(np.log(c / total_tokens))
+            for t, c in zip(top["token"], top["cnt"])}
+    oov = float(np.log(1.0 / total_tokens))
+    table_ref = ray.put((logp, oov))
+
+    class Scorer:
+        def __init__(self, ref):
+            self.logp, self.oov = (ref if isinstance(ref, tuple)
+                                   else ray.get(ref))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, nt, lp = [], [], []
+            for i, t in zip(batch[id_column], batch[text_column]):
+                words = tx._WORD_RE.findall((t or "").lower())
+                if not words:
+                    continue
+                vals = np.fromiter((self.logp.get(w, self.oov) for w in words),
+                                   dtype=np.float64, count=len(words))
+                ids.append(i)
+                nt.append(len(words))
+                lp.append(vals.mean())
+            return pd.DataFrame({id_column: np.array(ids, dtype=np.int64),
+                                 "n_tokens": np.array(nt, dtype=np.int64),
+                                 "logprob": np.array(lp, dtype=np.float64)})
+
+    return ds.map_batches(Scorer, fn_constructor_kwargs=dict(ref=table_ref),
+                          batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)

@@ -1,0 +1,130 @@
+"""Corpus training-data ops (pipelines/corpus.py) vs single-process oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pytimetk_ray.kernels import text as tx
+from pytimetk_ray.pipelines.corpus import (
+    hash_split,
+    pack_sequences,
+    token_totals,
+    topk_per_group,
+    unigram_logprob,
+    vocab_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _all_words(docs_df):
+    toks = []
+    for t in docs_df["text"]:
+        toks.extend(tx._WORD_RE.findall((t or "").lower()))
+    return toks
+
+
+def test_vocab_topk_matches_counter(docs_df):
+    out = vocab_topk(rd.from_pandas(docs_df), top_n=20).to_pandas()
+    vc = pd.Series(_all_words(docs_df)).value_counts()
+    ref = (vc.rename_axis("token").reset_index(name="cnt")
+           .sort_values(["cnt", "token"], ascending=[False, True],
+                        kind="mergesort").head(20).reset_index(drop=True))
+    got = out.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_token_totals_sum_equals_stream_length(docs_df):
+    tot = token_totals(rd.from_pandas(docs_df)).to_pandas()
+    assert tot["cnt"].sum() == len(_all_words(docs_df))
+    assert tot["token"].is_unique
+
+
+def test_hash_split_deterministic_and_proportioned(docs_df):
+    out = hash_split(rd.from_pandas(docs_df)).to_pandas()
+    assert len(out) == len(docs_df)
+    # exact per-row parity with the md5 definition
+    for _, r in out.head(25).iterrows():
+        b = tx.md5_u64(str(int(r["doc_id"]))) % 100
+        assert r["bucket"] == b
+        assert r["split"] == ("train" if b < 90 else "val" if b < 95 else "test")
+    frac = (out["split"] == "train").mean()
+    assert 0.8 < frac < 0.97  # ~90% with hash noise at 500 docs
+    # re-run gives the identical assignment (no RNG state anywhere)
+    out2 = hash_split(rd.from_pandas(docs_df)).to_pandas()
+    pd.testing.assert_frame_equal(out.sort_values("doc_id", ignore_index=True),
+                                  out2.sort_values("doc_id", ignore_index=True))
+
+
+def test_topk_per_group_matches_pandas(docs_df):
+    out = topk_per_group(rd.from_pandas(docs_df), k=3).to_pandas()
+    ref = (docs_df[["lang", "doc_id", "n_chars"]]
+           .sort_values(["lang", "n_chars", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+           .groupby("lang", sort=False).head(3))
+    got = out.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_pack_sequences_greedy_invariants(docs_df):
+    budget = 256
+    out = pack_sequences(rd.from_pandas(docs_df), budget=budget,
+                         num_shards=4).to_pandas()
+    assert len(out) == len(docs_df)
+    assert (out["shard"] == out["doc_id"] % 4).all()
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        bins = g["bin_id"].to_numpy()
+        ns = g["n_tokens"].to_numpy()
+        # bin ids start at 0 and are non-decreasing with steps of 1
+        assert bins[0] == 0
+        steps = np.diff(bins)
+        assert set(steps.tolist()) <= {0, 1}
+        # every bin fill respects the budget unless it is a single oversize doc
+        fills = pd.Series(ns).groupby(bins).sum()
+        sizes = pd.Series(ns).groupby(bins).size()
+        bad = fills[(fills > budget) & (sizes > 1)]
+        assert bad.empty
+        # greedy: a doc that OPENS bin b+1 would not have fit in bin b
+        open_idx = np.flatnonzero(steps == 1) + 1
+        for i in open_idx:
+            prev_bin = bins[i] - 1
+            prev_fill = ns[bins == prev_bin].sum()
+            assert prev_fill + ns[i] > budget
+
+
+def test_unigram_logprob_matches_local(docs_df):
+    out = unigram_logprob(rd.from_pandas(docs_df), vocab_size=64).to_pandas()
+    words_per_doc = {
+        int(i): tx._WORD_RE.findall((t or "").lower())
+        for i, t in zip(docs_df["doc_id"], docs_df["text"])
+    }
+    all_words = [w for ws in words_per_doc.values() for w in ws]
+    vc = pd.Series(all_words).value_counts()
+    top = (vc.rename_axis("token").reset_index(name="cnt")
+           .sort_values(["cnt", "token"], ascending=[False, True],
+                        kind="mergesort").head(64))
+    total = len(all_words)
+    logp = {t: np.log(c / total) for t, c in zip(top["token"], top["cnt"])}
+    oov = np.log(1.0 / total)
+    got = out.set_index("doc_id")
+    for did, ws in list(words_per_doc.items())[:50]:
+        if not ws:
+            assert did not in got.index
+            continue
+        exp = np.mean([logp.get(w, oov) for w in ws])
+        assert got.loc[did, "n_tokens"] == len(ws)
+        assert abs(got.loc[did, "logprob"] - exp) < 1e-9
