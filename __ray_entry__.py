@@ -938,6 +938,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(ds, ["arch_lm", "unitroot_kpss", "unitroot_pp",
                                 "hurst"])
 
+    def ts_features_het(sf_dir):
+        # rows-only: GARCH(1,1) heterogeneity quartet (built-in numpy
+        # quasi-MLE with variance targeting — iterative optimizer, not
+        # SQL-expressible; pytest pins recovery on synthetic GARCH series)
+        from pytimetk_ray.ops.ts_features import ts_features as tsf
+
+        ds = tsf(_events(sf_dir), "ts", "value", by=["user_id"],
+                 features=["length", "arch_acf", "garch_acf", "arch_r2",
+                           "garch_r2"])
+        return _nan_to_null(ds, ["arch_acf", "garch_acf", "arch_r2",
+                                 "garch_r2"])
+
     def frequency_summary(sf_dir):
         from pytimetk_ray.ops.frequency import frequency_summary_by
 
@@ -1069,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_folds_backward": cv_folds_backward,
         "ts_features": ts_features_q,
         "ts_features_full": ts_features_full,
+        "ts_features_het": ts_features_het,
         "ts_features_ext": ts_features_ext,
         "sessions": sessions,
         "augment_pct_change": augment_pct_change,

@@ -48,6 +48,8 @@ BUILTIN_FEATURES = frozenset({
     "unitroot_kpss", "unitroot_pp", "hurst", "spike", "linearity",
     "curvature", "e_acf1", "e_acf10", "holt_alpha", "holt_beta",
     "hw_alpha", "hw_beta", "hw_gamma",
+    # heterogeneity quartet (GARCH(1,1) via built-in numpy MLE)
+    "arch_acf", "garch_acf", "arch_r2", "garch_r2",
 })
 
 
@@ -205,6 +207,97 @@ def hurst_rs(v: np.ndarray) -> float:
     return float(np.log(r / s) / np.log(n))
 
 
+def _ar_whiten(v: np.ndarray) -> np.ndarray | None:
+    """Residuals of an OLS AR(p) with intercept, p = min(n-1,
+    floor(10*log10(n))) (the tsfeatures heterogeneity pre-whitening order;
+    fixed order rather than AIC selection — documented variant)."""
+    n = len(v)
+    if n < 8:
+        return None
+    p = int(min(n - 1, np.floor(10.0 * np.log10(n))))
+    if p < 1 or n - p < p + 2:
+        return None
+    y = v[p:]
+    X = np.column_stack([v[p - k - 1: n - k - 1] for k in range(p)])
+    A = np.column_stack([np.ones(len(y)), X])
+    try:
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    except np.linalg.LinAlgError:
+        return None
+    return y - A @ beta
+
+
+def garch11_fit(e: np.ndarray) -> tuple[float, float, float, np.ndarray] | None:
+    """GARCH(1,1) by Gaussian quasi-MLE with variance targeting
+    (omega = var*(1-alpha-beta)), optimized over (alpha, beta) with the
+    built-in Nelder-Mead.  sigma2_0 = sample variance.  Returns
+    (omega, alpha, beta, sigma2 path) or None when degenerate.  Public
+    model (Bollerslev 1986); self-contained numpy — no external fitter."""
+    e = e[np.isfinite(e)]
+    n = len(e)
+    if n < 12:
+        return None
+    var = float(e.var())
+    if var <= 0:
+        return None
+    e2 = e * e
+
+    def negll(p):
+        a, b = float(p[0]), float(p[1])
+        if a < 0 or b < 0 or a + b >= 0.999:
+            return 1e300
+        omega = var * (1.0 - a - b)
+        s2 = var
+        ll = np.log(s2) + e2[0] / s2
+        for t in range(1, n):
+            s2 = omega + a * e2[t - 1] + b * s2
+            ll += np.log(s2) + e2[t] / s2
+        return 0.5 * ll
+
+    best, best_f = None, np.inf
+    for a0, b0 in ((0.1, 0.8), (0.05, 0.5), (0.2, 0.2)):
+        res = nelder_mead(negll, [a0, b0], [(1e-6, 0.998), (1e-6, 0.998)])
+        f = negll(res)
+        if f < best_f:
+            best, best_f = res, f
+    a, b = float(best[0]), float(best[1])
+    omega = var * (1.0 - a - b)
+    s2 = np.empty(n)
+    s2[0] = var
+    for t in range(1, n):
+        s2[t] = omega + a * e2[t - 1] + b * s2[t - 1]
+    return omega, a, b, s2
+
+
+def heterogeneity(v: np.ndarray, lags: int = 12) -> dict[str, float]:
+    """tsfeatures-style heterogeneity quartet: AR-pre-whiten, then
+    arch_acf  = sum of squared ACF(resid^2, 12),
+    arch_r2   = ARCH-LM R^2 of the whitened residuals,
+    garch_acf / garch_r2 = the same statistics on the GARCH(1,1)
+    standardized residuals z = resid/sigma_t."""
+    out = {"arch_acf": np.nan, "garch_acf": np.nan,
+           "arch_r2": np.nan, "garch_r2": np.nan}
+    e = _ar_whiten(v)
+    if e is None or len(e) <= lags + 2 or e.std() == 0:
+        return out
+    e2 = e * e
+    out["arch_acf"] = float(np.nansum([_acf(e2, k) ** 2
+                                       for k in range(1, lags + 1)]))
+    out["arch_r2"] = arch_lm(e, lags=lags)
+    fit = garch11_fit(e)
+    if fit is None:
+        return out
+    _, _, _, s2 = fit
+    if np.any(s2 <= 0):
+        return out
+    z = e / np.sqrt(s2)
+    z2 = z * z
+    out["garch_acf"] = float(np.nansum([_acf(z2, k) ** 2
+                                        for k in range(1, lags + 1)]))
+    out["garch_r2"] = arch_lm(z, lags=lags)
+    return out
+
+
 def nelder_mead(f, x0, bounds, n_iter: int = 200, tol: float = 1e-8):
     """Minimal Nelder-Mead (public algorithm) with box clipping."""
     x0 = np.asarray(x0, dtype=np.float64)
@@ -333,6 +426,8 @@ def ts_features(
     # the Holt/HW optimizer loops per group; only pay for it when asked
     fit_holt = bool({"holt_alpha", "holt_beta"} & want) if features else False
     fit_hw = bool({"hw_alpha", "hw_beta", "hw_gamma"} & want) if features else False
+    fit_het = (bool({"arch_acf", "garch_acf", "arch_r2", "garch_r2"} & want)
+               if features else False)
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         from pytimetk_ray.kernels.decomp import auto_periods, classical_decompose
@@ -442,6 +537,8 @@ def ts_features(
                              max(n // 2, 2))
                 hw = hw_parameters(v, period)
                 row["hw_alpha"], row["hw_beta"], row["hw_gamma"] = hw
+            if fit_het:
+                row.update(heterogeneity(v))
             rows.append(row)
         out = pd.DataFrame(rows)
         if features:
