@@ -312,6 +312,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round_cols(_cast_bucket_us(t), ["value_sum"])
 
+    def tier_ingest_1h(sf_dir):
+        # incremental ingest == full recompute, proved against the SAME
+        # full-data SQL oracle as tier_rollup_1h: rollup the first ~2/3 of
+        # January, then fold the rest in via partition-level invalidation
+        from pytimetk_ray.pipelines.tiers import ingest_increment
+
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_i_"), "tiers")
+        split = pd.Timestamp("2024-01-20")
+
+        def _rn(b):
+            return b.rename(columns={"user_id": "conv_id"})
+
+        ev = _events(sf_dir).map_batches(_rn, batch_format="pandas")
+        base = ev.map_batches(lambda b: b[b["ts"] < split], batch_format="pandas")
+        inc = ev.map_batches(lambda b: b[b["ts"] >= split], batch_format="pandas")
+        rollup_tiers(base, out_dir=out, key="conv_id", date_column="ts",
+                     value_column="value", num_partitions=16,
+                     input_fingerprint="qi", tiers=("1min", "1h"))
+        ingest_increment(base, inc, out_dir=out, key="conv_id",
+                         date_column="ts", value_column="value",
+                         tiers=("1min", "1h"), num_partitions=16,
+                         input_fingerprint="qi")
+        import ray.data as rd2
+
+        t = rd2.read_parquet(os.path.join(out, "tier=1h")).select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count", "value_min", "value_max"]
+        )
+        return _round_cols(_cast_bucket_us(t), ["value_sum"])
+
+    def tier_expire_1h(sf_dir):
+        # retention expiry: drop 1h buckets before Jan 10; oracle = the
+        # rollup SQL with the cutoff predicate
+        from pytimetk_ray.pipelines.tiers import expire_tiers
+
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_e_"), "tiers")
+        ds = _events(sf_dir).map_batches(
+            lambda b: b.rename(columns={"user_id": "conv_id"}), batch_format="pandas"
+        )
+        rollup_tiers(ds, out_dir=out, key="conv_id", date_column="ts",
+                     value_column="value", num_partitions=16,
+                     input_fingerprint="qe", tiers=("1min", "1h"))
+        expire_tiers(out, {"1h": pd.Timestamp("2024-01-10")})
+        import ray.data as rd2
+
+        t = rd2.read_parquet(os.path.join(out, "tier=1h")).select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count", "value_min", "value_max"]
+        )
+        return _round_cols(_cast_bucket_us(t), ["value_sum"])
+
     def tpch_q1(sf_dir):
         ds = rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
@@ -1015,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalize_stl": anomalize_stl,
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
+        "tier_ingest_1h": tier_ingest_1h,
+        "tier_expire_1h": tier_expire_1h,
         "tpch_q1": tpch_q1,
         "dedup_exact": dedup_exact,
         "doc_token_count": doc_token_count,
@@ -1628,6 +1679,25 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value)             AS value_min,
                    MAX(value)             AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "tier_ingest_1h": """
+            SELECT user_id AS conv_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   MIN(value)             AS value_min,
+                   MAX(value)             AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "tier_expire_1h": """
+            SELECT user_id AS conv_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   MIN(value)             AS value_min,
+                   MAX(value)             AS value_max
+            FROM events GROUP BY 1, 2
+            HAVING date_trunc('hour', ts) >= TIMESTAMP '2024-01-10 00:00:00'
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -355,6 +355,116 @@ def _rollup_salted(ds, *, out_dir, key, date_column, value_column, tiers,
     return {name0: res_a[name0], **res_b}
 
 
+def affected_partitions(new_ds: rd.Dataset, *, key: str = "conv_id",
+                        num_partitions: int = DEFAULT_NUM_PARTITIONS) -> set[int]:
+    """Partition ids an increment's rows hash into — the SAME hash chain as
+    exec._add_part_arrow, so invalidation matches the shuffle exactly.
+    Output is <= num_partitions values regardless of increment size."""
+
+    def pids(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(np.asarray(batch[key]))
+        return pd.DataFrame({"__part__": np.unique(
+            (h % np.uint64(num_partitions)).astype(np.int64))})
+
+    out = new_ds.map_batches(pids, batch_format="pandas").unique("__part__")
+    return {int(p) for p in out}
+
+
+def ingest_increment(
+    base_ds: rd.Dataset,
+    new_ds: rd.Dataset,
+    *,
+    out_dir: str,
+    key: str = "conv_id",
+    date_column: str = "ts",
+    value_column: str = "value",
+    tiers: Sequence[str] = TIER_FREQS,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    input_fingerprint: str = "",
+    gap_fill: bool = False,
+) -> dict[str, pd.DataFrame]:
+    """Incremental tier update: fold ``new_ds`` rows into an existing tier
+    store WITHOUT recomputing untouched partitions.
+
+    Partition-level invalidation keeps the bit-equality contract: the ids
+    the new rows hash into are invalidated (manifests dropped) and those
+    partitions are recomputed FROM RAW over ``base_ds.union(new_ds)`` —
+    each recomputed task sees exactly the rows a full recompute would, in
+    the same sorted order, so the result is bit-equal to rerunning the whole
+    cascade (compositional float merging of old+new aggregates would NOT
+    be).  Untouched partitions are pruned at the read by the resume path —
+    their rows never enter the shuffle and their parquet is not rewritten.
+
+    Uses the SAME ``input_fingerprint`` as the base run: the fingerprint
+    names the logical tier store; its content advances via the manifest
+    rewrite of the recomputed partitions.  Not supported together with
+    ``salt`` (stage-A salted partitions key on (conv, bucket-hash); expire
+    the salt or recompute fully when ingesting into a salted store)."""
+    pids = affected_partitions(new_ds, key=key, num_partitions=num_partitions)
+    tier_names = [TIER_NAMES.get(f, f) for f in tiers]
+    mf.invalidate_partitions(out_dir, tier_names, pids)
+    return rollup_tiers(
+        base_ds.union(new_ds), out_dir=out_dir, key=key,
+        date_column=date_column, value_column=value_column, tiers=tiers,
+        num_partitions=num_partitions, input_fingerprint=input_fingerprint,
+        resume=True, gap_fill=gap_fill,
+    )
+
+
+def expire_tiers(out_dir: str, cutoffs: dict[str, object],
+                 *, max_parallel: int = 16) -> dict[str, pd.DataFrame]:
+    """Retention expiry: drop buckets older than each tier's cutoff from the
+    stored partitions, atomically rewriting parquet + manifest per
+    partition.
+
+    ``cutoffs``: {tier_name: timestamp-like} — rows with
+    ``bucket_ts < cutoff`` are removed from that tier (tiers absent from the
+    dict are untouched, so "raw 7d / 1m 90d / 1h 1y / 1d forever" policies
+    are one call).  Each (tier, partition) rewrite is an independent Ray
+    task (a per-FILE rewrite with its own manifest commit — the one shape
+    the Dataset API doesn't express); the manifest's fingerprint gains an
+    ``|expire@cutoff`` suffix so a later resume of the base job knows the
+    stored content no longer matches the raw input and recomputes instead
+    of silently resuming from expired data.  Returns the rewritten manifest
+    frames per tier."""
+    import json
+
+    import ray
+
+    @ray.remote
+    def _expire_one(tier: str, pid: int, cutoff_ns: int, unit: str) -> dict:
+        path = mf.partition_path(out_dir, tier, pid)
+        with open(mf.manifest_path(out_dir, tier, pid)) as f:
+            old = json.load(f)
+        df = pd.read_parquet(path)
+        cutoff = np.int64(cutoff_ns).astype("datetime64[ns]").astype(
+            f"datetime64[{unit}]")
+        kept = df[df["bucket_ts"].to_numpy() >= cutoff].reset_index(drop=True)
+        fp = f"{old['input_fingerprint']}|expire@{cutoff_ns}"
+        return mf.commit_partition(out_dir, tier, pid, kept, fp)
+
+    results: dict[str, pd.DataFrame] = {}
+    for tier, cutoff in cutoffs.items():
+        pids = sorted(mf.committed_partitions(out_dir, tier))
+        if not pids:
+            results[tier] = pd.DataFrame()
+            continue
+        sample = pd.read_parquet(mf.partition_path(out_dir, tier, pids[0]),
+                                 columns=["bucket_ts"])
+        unit = _np_unit(sample["bucket_ts"].to_numpy())
+        cutoff_ns = int(pd.Timestamp(cutoff).value)
+        refs = []
+        rows = []
+        for pid in pids:
+            refs.append(_expire_one.remote(tier, pid, cutoff_ns, unit))
+            if len(refs) >= max_parallel:
+                rows.extend(ray.get(refs))
+                refs = []
+        rows.extend(ray.get(refs))
+        results[tier] = pd.DataFrame(rows)
+    return results
+
+
 def read_tier(out_dir: str, tier: str) -> rd.Dataset:
     """Read one tier back as a Dataset, deriving ``value_mean`` at read
     (mean is never stored — tiers hold only composable aggregates)."""

@@ -75,6 +75,24 @@ def committed_partitions(out_dir: str, tier: str, input_fingerprint: str | None 
     return done
 
 
+def invalidate_partitions(out_dir: str, tiers: Iterable[str],
+                          pids: Iterable[int]) -> int:
+    """Drop the manifests of the given (tier, partition) pairs so a resumed
+    run recomputes them (incremental-ingest invalidation).  The parquet is
+    left in place — it is overwritten atomically on recompute, and an
+    unmanifested partition is never trusted by resume.  Returns the number
+    of manifests removed."""
+    n = 0
+    pids = list(pids)
+    for tier in tiers:
+        for pid in pids:
+            p = manifest_path(out_dir, tier, pid)
+            if os.path.exists(p):
+                os.remove(p)
+                n += 1
+    return n
+
+
 def commit_partition(
     out_dir: str,
     tier: str,

@@ -1,0 +1,132 @@
+"""Retention-engine extensions: incremental ingest + tier expiry."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pytimetk_ray.pipelines.tiers import (
+    affected_partitions,
+    expire_tiers,
+    ingest_increment,
+    read_tier,
+    rollup_tiers,
+)
+from pytimetk_ray.sources.transcripts import add_value_column, make_transcripts
+from pytimetk_ray.state import manifest as mf
+
+P = 8
+TIERS = ("1min", "1h")
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    return add_value_column(make_transcripts(60, seed=7))
+
+
+def _tier_files(out_dir, tier):
+    return sorted(glob.glob(os.path.join(out_dir, f"tier={tier}", "*.parquet")))
+
+
+def _read_all(out_dir, tier):
+    return pd.concat([pd.read_parquet(f) for f in _tier_files(out_dir, tier)],
+                     ignore_index=True).sort_values(
+        ["conv_id", "bucket_ts"], ignore_index=True)
+
+
+def _split(corpus):
+    cut = corpus["ts"].quantile(0.7)
+    return corpus[corpus.ts < cut], corpus[corpus.ts >= cut]
+
+
+def _rollup(df, out_dir, fp):
+    return rollup_tiers(rd.from_pandas(df), out_dir=out_dir, key="conv_id",
+                        date_column="ts", value_column="value", tiers=TIERS,
+                        num_partitions=P, input_fingerprint=fp, resume=True)
+
+
+def test_ingest_bit_equal_to_full_recompute(corpus, tmp_path):
+    base, inc = _split(corpus)
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    _rollup(corpus, full_dir, "v1")
+    _rollup(base, inc_dir, "v1")
+
+    # record mtimes to prove untouched partitions are NOT rewritten
+    pids_touched = affected_partitions(rd.from_pandas(inc), key="conv_id",
+                                       num_partitions=P)
+    assert 0 < len(pids_touched) <= P
+    before = {f: os.path.getmtime(f) for f in _tier_files(inc_dir, "1m")}
+
+    ingest_increment(rd.from_pandas(base), rd.from_pandas(inc),
+                     out_dir=inc_dir, key="conv_id", date_column="ts",
+                     value_column="value", tiers=TIERS, num_partitions=P,
+                     input_fingerprint="v1")
+
+    for tier in ("1m", "1h"):
+        a, b = _read_all(full_dir, tier), _read_all(inc_dir, tier)
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a["conv_id"], b["conv_id"])
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy(np.float64).view(np.uint64),
+                b[col].to_numpy(np.float64).view(np.uint64), err_msg=col)
+        np.testing.assert_array_equal(a["value_count"], b["value_count"])
+
+    untouched = set(range(P)) - pids_touched
+    for pid in untouched:
+        f = mf.partition_path(inc_dir, "1m", pid)
+        assert os.path.getmtime(f) == before[f], "untouched partition rewritten"
+
+
+def test_ingest_is_idempotent(corpus, tmp_path):
+    base, inc = _split(corpus)
+    d = str(tmp_path / "t")
+    _rollup(base, d, "v1")
+    ingest_increment(rd.from_pandas(base), rd.from_pandas(inc), out_dir=d,
+                     key="conv_id", date_column="ts", value_column="value",
+                     tiers=TIERS, num_partitions=P, input_fingerprint="v1")
+    first = _read_all(d, "1h")
+    # re-ingesting the same increment over the same union is a no-op result
+    ingest_increment(rd.from_pandas(base), rd.from_pandas(inc), out_dir=d,
+                     key="conv_id", date_column="ts", value_column="value",
+                     tiers=TIERS, num_partitions=P, input_fingerprint="v1")
+    pd.testing.assert_frame_equal(first, _read_all(d, "1h"))
+
+
+def test_expire_drops_old_buckets_and_updates_manifests(corpus, tmp_path):
+    d = str(tmp_path / "t")
+    _rollup(corpus, d, "v1")
+    all_1m = _read_all(d, "1m")
+    cutoff = pd.Timestamp(all_1m["bucket_ts"].quantile(0.5)).ceil("1min")
+    res = expire_tiers(d, {"1m": cutoff})
+    kept = _read_all(d, "1m")
+    ref = all_1m[all_1m["bucket_ts"] >= cutoff].reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept, ref)
+    # 1h tier untouched
+    assert len(_read_all(d, "1h")) > 0
+    # manifests advanced: fingerprint carries the expiry, row counts match
+    assert res["1m"]["row_count"].sum() == len(ref)
+    for pid in mf.committed_partitions(d, "1m"):
+        with open(mf.manifest_path(d, "1m", pid)) as f:
+            m = json.load(f)
+        assert "|expire@" in m["input_fingerprint"]
+    # read_tier still works over the expired store
+    assert read_tier(d, "1m").count() == len(ref)
+
+
+def test_expired_store_does_not_resume_as_committed(corpus, tmp_path):
+    d = str(tmp_path / "t")
+    _rollup(corpus, d, "v1")
+    full = _read_all(d, "1m")
+    cutoff = pd.Timestamp(full["bucket_ts"].quantile(0.5)).ceil("1min")
+    expire_tiers(d, {"1m": cutoff, "1h": cutoff})
+    # resume of the ORIGINAL job sees mismatched fingerprints -> recomputes
+    _rollup(corpus, d, "v1")
+    pd.testing.assert_frame_equal(_read_all(d, "1m"), full)
