@@ -434,6 +434,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ps(_docs(sf_dir), budget=512, num_shards=8)
 
+    def prep_composite(sf_dir):
+        # the full training-data prep chain, oracle-checked end to end:
+        # quality filter -> exact dedup -> md5-MinHash near-dup components
+        # (drop non-representatives) -> deterministic md5 split -> greedy
+        # token-budget packing.  Every stage is the distributed pipeline;
+        # the oracle is ONE SQL statement over the same definitions.
+        from pytimetk_ray.pipelines.corpus import hash_split
+        from pytimetk_ray.pipelines.corpus import pack_sequences as _ps
+        from pytimetk_ray.pipelines.prep import prepare_training_data
+
+        kept, _stats = prepare_training_data(
+            _docs(sf_dir), min_tokens=5, max_punct_ratio=0.5,
+            neardup_threshold=0.7, concurrency=2)
+        packed = _ps(kept, budget=512, num_shards=8)
+        split = hash_split(kept).select_columns(["doc_id", "split"])
+        return packed.join(split, join_type="inner", num_partitions=16,
+                           on=("doc_id",))
+
     def doc_unigram_logprob(sf_dir):
         # two-pass unigram LM score: broadcast top-V vocab, stateless scorer
         from pytimetk_ray.pipelines.corpus import unigram_logprob
@@ -1075,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_topk_per_lang": docs_topk_per_lang,
         "pack_sequences": pack_sequences,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "prep_composite": prep_composite,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
@@ -1763,6 +1782,101 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard, bin_id, n_tokens FROM packed
         """,
+
+        # the whole prep chain in ONE statement: quality filter, exact md5
+        # dedup, md5-MinHash-LSH near-dup closure (threshold 0.7), md5
+        # split, per-shard greedy packing recurrence
+        "prep_composite": r"""
+            WITH RECURSIVE q AS MATERIALIZED (
+                SELECT doc_id, text FROM documents
+                WHERE len(regexp_extract_all(text, '\S+')) >= 5
+                  AND length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                      / GREATEST(1, length(text)) <= 0.5
+            ),
+            ex AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+            exq AS MATERIALIZED (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+            toks AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM exq
+            ),
+            sidx AS MATERIALIZED (
+                SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                FROM toks WHERE len(ws) >= 3
+            ),
+            sh AS MATERIALIZED (
+                SELECT doc_id,
+                       md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+                FROM sidx
+                UNION ALL
+                SELECT doc_id, md5_number_lower(array_to_string(ws, ' '))
+                FROM toks WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            perm(pi, a, b) AS (VALUES __PERM_VALS__),
+            sig AS MATERIALIZED (
+                SELECT doc_id, pi,
+                       MIN((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                           % 2305843009213693951) AS mh
+                FROM sh, perm GROUP BY doc_id, pi
+            ),
+            band AS MATERIALIZED (
+                SELECT doc_id, pi // 8 AS band_id,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
+                FROM sig GROUP BY doc_id, pi // 8
+            ),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band_id = y.band_id AND x.bkey = y.bkey
+                 AND x.doc_id < y.doc_id
+            ),
+            est AS MATERIALIZED (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.pi = sa.pi
+                GROUP BY c.id_a, c.id_b
+                HAVING AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) >= 0.7
+            ),
+            edges AS MATERIALIZED (
+                SELECT id_a AS node, id_b AS nbr FROM est
+                UNION SELECT id_b, id_a FROM est
+            ),
+            reach AS (
+                SELECT node, node AS r FROM (SELECT DISTINCT node FROM edges)
+                UNION
+                SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
+            ),
+            clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY node),
+            surv AS MATERIALIZED (
+                SELECT exq.doc_id, exq.text FROM exq LEFT JOIN clus USING (doc_id)
+                WHERE clus.doc_id IS NULL OR clus.cluster_id = exq.doc_id
+            ),
+            d AS MATERIALIZED (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM surv
+            ),
+            packed AS (
+                SELECT shard, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN p.fill + d.n_tokens <= 512 THEN p.bin_id
+                            ELSE p.bin_id + 1 END,
+                       CASE WHEN p.fill + d.n_tokens <= 512
+                            THEN p.fill + d.n_tokens ELSE d.n_tokens END
+                FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin_id, n_tokens,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM packed
+        """.replace("__PERM_VALS__", _perm_vals),
 
         "doc_unigram_logprob": r"""
             WITH w AS (
