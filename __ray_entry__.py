@@ -669,8 +669,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = fin.augment_rolling_risk_metrics(_events(sf_dir), ["user_id"], ["ts"],
                                               "value", window=5)
         cols = ["value_sharpe_ratio_5", "value_sortino_ratio_5",
-                "value_volatility_annualized_5", "value_skewness_5",
-                "value_kurtosis_5"]
+                "value_volatility_annualized_5", "value_omega_ratio_5",
+                "value_skewness_5", "value_kurtosis_5"]
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
+    def fin_risk_bench(sf_dir):
+        # benchmark-relative metrics (treynor beta from population
+        # covariances, information ratio from tracking-error std) vs a
+        # deterministic benchmark column b = value + 100
+        ds = _events(sf_dir).map_batches(
+            lambda b: b.assign(bench=b["value"] + 100.0), batch_format="pandas")
+        ds = fin.augment_rolling_risk_metrics(ds, ["user_id"], ["ts"], "value",
+                                              window=5, benchmark_column="bench")
+        cols = ["value_treynor_ratio_5", "value_information_ratio_5"]
         ds = _nan_to_null(ds, cols)
         return ds.select_columns(["event_id", "user_id"] + cols)
 
@@ -1119,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_fip": fin_fip,
         "fin_qsmomentum": fin_qsmomentum,
         "fin_risk": fin_risk,
+        "fin_risk_bench": fin_risk_bench,
         "fin_hurst": fin_hurst,
         "fin_adx": fin_adx,
         "fin_regime": fin_regime,
@@ -3101,14 +3114,20 @@ def oracle_sql() -> dict[str, str]:
                            + CASE WHEN r3 < 0 THEN r3 ELSE 0.0 END)
                           + CASE WHEN r2 < 0 THEN r2 ELSE 0.0 END)
                          + CASE WHEN r1 < 0 THEN r1 ELSE 0.0 END)
-                        + CASE WHEN r0 < 0 THEN r0 ELSE 0.0 END) AS msum
+                        + CASE WHEN r0 < 0 THEN r0 ELSE 0.0 END) AS msum,
+                       ((((CASE WHEN r4 > 0 THEN r4 ELSE 0.0 END
+                           + CASE WHEN r3 > 0 THEN r3 ELSE 0.0 END)
+                          + CASE WHEN r2 > 0 THEN r2 ELSE 0.0 END)
+                         + CASE WHEN r1 > 0 THEN r1 ELSE 0.0 END)
+                        + CASE WHEN r0 > 0 THEN r0 ELSE 0.0 END) AS psum
                 FROM l
             ), v AS (
                 SELECT event_id, user_id, rn, r0, r1, r2, r3, r4, mu, cnt,
+                       msum, psum,
                        msum / cnt AS md
                 FROM m
             ), s AS (
-                SELECT event_id, user_id, rn, mu, cnt,
+                SELECT event_id, user_id, rn, mu, cnt, msum, psum,
                        (((((r4-mu)*(r4-mu) + (r3-mu)*(r3-mu)) + (r2-mu)*(r2-mu))
                         + (r1-mu)*(r1-mu)) + (r0-mu)*(r0-mu)) AS ss,
                        ((((((r4-mu)*(r4-mu))*(r4-mu) + ((r3-mu)*(r3-mu))*(r3-mu))
@@ -3134,6 +3153,12 @@ def oracle_sql() -> dict[str, str]:
                        AS value_sortino_ratio_5,
                    CASE WHEN rn >= 6 THEN sqrt(ss / 4.0) * sqrt(252.0) END
                        AS value_volatility_annualized_5,
+                   -- mu IS NULL <=> some window return is NULL (x/0 -> NULL
+                   -- in DuckDB, +-inf in pandas -> nulled): the omega CASE
+                   -- folds would otherwise coerce NULL terms to 0.0
+                   CASE WHEN rn >= 6 AND mu IS NOT NULL
+                        THEN psum / NULLIF(-msum, 0) END
+                       AS value_omega_ratio_5,
                    CASE WHEN rn >= 6 THEN
                        (sqrt(20.0)/3.0) * ((m3s/5.0) / ((ss/5.0) * sqrt(ss/5.0))) END
                        AS value_skewness_5,
@@ -3142,6 +3167,51 @@ def oracle_sql() -> dict[str, str]:
                            / (3.0 * 2.0) END
                        AS value_kurtosis_5
             FROM s
+        """,
+        "fin_risk_bench": """
+            WITH r AS (
+                SELECT event_id, user_id, ts,
+                       value / LAG(value) OVER w - 1 AS ret,
+                       (value + 100.0) / LAG(value + 100.0) OVER w - 1 AS bret,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), l AS (
+                SELECT event_id, user_id, rn,
+                       ret AS r0, LAG(ret,1) OVER w AS r1, LAG(ret,2) OVER w AS r2,
+                       LAG(ret,3) OVER w AS r3, LAG(ret,4) OVER w AS r4,
+                       bret AS b0, LAG(bret,1) OVER w AS b1, LAG(bret,2) OVER w AS b2,
+                       LAG(bret,3) OVER w AS b3, LAG(bret,4) OVER w AS b4
+                FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), m AS (
+                SELECT event_id, user_id, rn,
+                       ((((r4 + r3) + r2) + r1) + r0) / 5.0 AS mu,
+                       ((((b4 + b3) + b2) + b1) + b0) / 5.0 AS bmu,
+                       ((((r4*b4 + r3*b3) + r2*b2) + r1*b1) + r0*b0) / 5.0 AS prod,
+                       ((((b4*b4 + b3*b3) + b2*b2) + b1*b1) + b0*b0) / 5.0 AS b2m,
+                       r0, r1, r2, r3, r4, b0, b1, b2, b3, b4
+                FROM l
+            ), t AS (
+                SELECT event_id, user_id, rn, mu, bmu,
+                       prod - mu * bmu AS cov,
+                       b2m - bmu * bmu AS bvar,
+                       (((((r4-b4) + (r3-b3)) + (r2-b2)) + (r1-b1)) + (r0-b0)) / 5.0 AS am,
+                       r0, r1, r2, r3, r4, b0, b1, b2, b3, b4
+                FROM m
+            ), u AS (
+                SELECT event_id, user_id, rn, mu, bmu, cov, bvar, am,
+                       ((((((r4-b4)-am)*((r4-b4)-am) + ((r3-b3)-am)*((r3-b3)-am))
+                          + ((r2-b2)-am)*((r2-b2)-am)) + ((r1-b1)-am)*((r1-b1)-am))
+                        + ((r0-b0)-am)*((r0-b0)-am)) AS ass
+                FROM t
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN rn >= 6
+                        THEN mu / (cov / NULLIF(bvar, 0)) * sqrt(252.0) END
+                       AS value_treynor_ratio_5,
+                   CASE WHEN rn >= 6
+                        THEN (mu - bmu) / NULLIF(sqrt(ass / 4.0), 0) END
+                       AS value_information_ratio_5
+            FROM u
         """,
         "fin_hurst": """
             WITH r AS (

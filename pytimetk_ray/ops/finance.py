@@ -412,16 +412,24 @@ def augment_hurst_exponent(ds: rd.Dataset, group_keys, order_by,
 def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
                                  close_column: str, window=252,
                                  risk_free_rate=0.0, trading_days=252,
+                                 benchmark_column: str | None = None,
                                  **kw) -> rd.Dataset:
-    """Rolling Sharpe/Sortino/vol/skew/kurt over full return windows
-    (reference rolling_risk_metrics.py:436-482).  All five are explicit
-    two-pass sliding-window formulas (left-fold sums, oldest first; sample
-    skewness/excess-kurtosis with the standard bias corrections) instead of
-    pandas' online rolling kernels — numerically equivalent at ~1e-15 and
-    bit-reproducible by the DuckDB oracle's LAG-chain SQL.  Sortino's
-    downside std spans only the window's negative returns (sample ddof=1,
-    NaN when fewer than two), matching the reference's
-    ``rets.where(rets<0).rolling(w, min_periods=1).std()``."""
+    """Rolling Sharpe/Sortino/vol/omega/skew/kurt — plus Treynor and
+    information ratio when ``benchmark_column`` is given — over full return
+    windows (reference rolling_risk_metrics.py:436-495).  All metrics are
+    explicit two-pass sliding-window formulas (left-fold sums, oldest
+    first; sample skewness/excess-kurtosis with the standard bias
+    corrections) instead of pandas' online rolling kernels — numerically
+    equivalent at ~1e-15 and bit-reproducible by the DuckDB oracle's
+    LAG-chain SQL.  Documented variants vs the current reference: returns
+    are pct_change (the reference moved to log returns), windows are FULL
+    (min_periods == window, not window//2), and Sortino's downside std
+    spans only the window's negative returns (sample ddof=1, NaN when
+    fewer than two) rather than the population mean of clipped squares.
+    Omega = sum(max(r,0)) / -sum(min(r,0)) (0 denominator -> NaN); Treynor
+    beta = (E[rb] - E[r]E[b]) / (E[b^2] - E[b]^2) population covariances
+    (reference :472-484); information = (E[r] - E[b]) / std(r - b, ddof=1)
+    (reference :487-493, no annualization)."""
     w = window
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
@@ -435,9 +443,16 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
             f"{c}_sharpe_ratio_{w}": np.full(n, np.nan),
             f"{c}_sortino_ratio_{w}": np.full(n, np.nan),
             f"{c}_volatility_annualized_{w}": np.full(n, np.nan),
+            f"{c}_omega_ratio_{w}": np.full(n, np.nan),
             f"{c}_skewness_{w}": np.full(n, np.nan),
             f"{c}_kurtosis_{w}": np.full(n, np.nan),
         }
+        if benchmark_column is not None:
+            gb = part.groupby(list(group_keys), sort=False,
+                              group_keys=False)[benchmark_column]
+            brets = gb.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+            cols[f"{c}_treynor_ratio_{w}"] = np.full(n, np.nan)
+            cols[f"{c}_information_ratio_{w}"] = np.full(n, np.nan)
         if n >= w:
             win = _windows(rets, w)  # group-lead NaN rets invalidate crossers
             fw = float(w)
@@ -469,6 +484,26 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
                     cols[f"{c}_kurtosis_{w}"][sl] = (
                         ((fw + 1.0) * g2 + 6.0) * (fw - 1.0)
                     ) / ((fw - 2.0) * (fw - 3.0))
+                    # omega: sum of positive parts / -sum of negative parts
+                    pos = (wv * (wv > 0)).sum(axis=1)
+                    ns = (wv * neg).sum(axis=1)
+                    om = pos / -ns
+                    om[ns == 0] = np.nan
+                    cols[f"{c}_omega_ratio_{w}"][sl] = om
+                    if benchmark_column is not None:
+                        wb = _windows(brets, w)[a:b]
+                        bmu = wb.sum(axis=1) / fw
+                        cov = (wv * wb).sum(axis=1) / fw - mu * bmu
+                        bvar = (wb * wb).sum(axis=1) / fw - bmu * bmu
+                        beta = cov / bvar
+                        beta[bvar == 0] = np.nan
+                        cols[f"{c}_treynor_ratio_{w}"][sl] = (mu - rf) / beta * ann
+                        act = wv - wb
+                        am = act.sum(axis=1) / fw
+                        ad = act - am[:, None]
+                        tstd = np.sqrt((ad * ad).sum(axis=1) / (fw - 1.0))
+                        tstd[tstd == 0] = np.nan
+                        cols[f"{c}_information_ratio_{w}"][sl] = (mu - bmu) / tstd
         for name, arr in cols.items():
             part[name] = arr
         return part
