@@ -555,6 +555,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decoded.map_batches(summarize, batch_format="pandas")
 
+    def multimodal_pipeline(sf_dir):
+        # rows-only: the full media chain decode -> nearest-neighbor resize
+        # (REAL numpy gather) -> feature extraction (actor-held projection,
+        # one BLAS matmul per batch); schema/batch/actor plumbing end to end
+        from pytimetk_ray.stages.multimodal import (
+            decode_images,
+            extract_features,
+            resize_images,
+        )
+
+        def to_media(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": batch["doc_id"],
+                "payload": [t.encode("utf-8") for t in batch["text"]],
+            })
+
+        media = _docs(sf_dir).map_batches(to_media, batch_format="pandas")
+        decoded = decode_images(media, concurrency=2, batch_size=64)
+        small = resize_images(decoded, concurrency=2, in_shape=(32, 32, 3),
+                              out_hw=(16, 16))
+        feats = extract_features(small, in_dim=16 * 16 * 3, out_dim=32,
+                                 concurrency=2)
+
+        def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "media_id": batch["media_id"],
+                "emb_norm": [float(np.round(np.linalg.norm(e), 3))
+                             for e in batch["embedding"]],
+            })
+
+        return feats.map_batches(summarize, batch_format="pandas")
+
     # --- finance / diagnostics / signal ------------------------------------
 
     from pytimetk_ray.ops import finance as fin
@@ -1119,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "multimodal_decode": multimodal_decode,
+        "multimodal_pipeline": multimodal_pipeline,
         "fin_roc_drawdown": fin_roc_drawdown,
         "fin_bbands": fin_bbands,
         "fin_rsi": fin_rsi,

@@ -81,6 +81,53 @@ class AudioFrameSampler:
         return out
 
 
+class ImageResizer:
+    """Decoded pixel tensors -> nearest-neighbor resize.  REAL compute (no
+    codec needed once pixels exist): one vectorized numpy gather per batch
+    over the stacked (B, H, W, C) tensor.  The index grids are built once
+    per actor in ``__init__`` — the canonical stateful-stage pattern."""
+
+    def __init__(self, in_shape=(32, 32, 3), out_hw=(16, 16)):
+        self.in_shape = tuple(in_shape)
+        self.out_hw = tuple(out_hw)
+        ih, iw, _ = self.in_shape
+        oh, ow = self.out_hw
+        # nearest-neighbor source index per output pixel (floor sampling)
+        self.row_idx = np.minimum((np.arange(oh) * ih) // oh, ih - 1)
+        self.col_idx = np.minimum((np.arange(ow) * iw) // ow, iw - 1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ih, iw, c = self.in_shape
+        oh, ow = self.out_hw
+        px = np.stack([np.asarray(p, dtype=np.float32) for p in batch["pixels"]])
+        px = px.reshape(len(batch), ih, iw, c)
+        small = px[:, self.row_idx][:, :, self.col_idx]  # (B, oh, ow, c)
+        out = pd.DataFrame({
+            "media_id": batch["media_id"].to_numpy(),
+            "height": oh, "width": ow, "channels": c,
+        })
+        out["pixels"] = list(small.reshape(len(batch), oh * ow * c))
+        return out
+
+
+class FeatureExtractor:
+    """Decoded pixels -> embedding via a projection matrix loaded ONCE per
+    actor in ``__init__`` (stands in for a model checkpoint load; the
+    matmul compute and batching are real, the weights are seeded)."""
+
+    def __init__(self, in_dim: int, out_dim: int = 64, seed: int = 9):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((in_dim, out_dim)).astype(np.float32)
+        self.W /= np.sqrt(in_dim)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        px = np.stack([np.asarray(p, dtype=np.float32) for p in batch["pixels"]])
+        emb = px @ self.W  # (B, out_dim), one BLAS call per batch
+        out = pd.DataFrame({"media_id": batch["media_id"].to_numpy()})
+        out["embedding"] = list(emb)
+        return out
+
+
 def decode_images(ds: rd.Dataset, *, concurrency: int = 2, batch_size: int = 64,
                   **kw) -> rd.Dataset:
     """Actor-pool decode stage; small batches for wide binary rows."""
@@ -90,5 +137,22 @@ def decode_images(ds: rd.Dataset, *, concurrency: int = 2, batch_size: int = 64,
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def resize_images(ds: rd.Dataset, *, concurrency: int = 2, batch_size: int = 64,
+                  **kw) -> rd.Dataset:
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs=kw, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+    )
+
+
+def extract_features(ds: rd.Dataset, *, in_dim: int, concurrency: int = 2,
+                     batch_size: int = 64, **kw) -> rd.Dataset:
+    return ds.map_batches(
+        FeatureExtractor, fn_constructor_kwargs=dict(in_dim=in_dim, **kw),
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
         num_cpus=1,
     )

@@ -156,6 +156,42 @@ def test_multimodal_stub():
     assert len(a) == 32 * 32 * 3
 
 
+def test_multimodal_resize_and_features():
+    from pytimetk_ray.stages.multimodal import (
+        decode_images,
+        extract_features,
+        resize_images,
+    )
+
+    df = pd.DataFrame({"media_id": [1, 2], "payload": [b"xx", b"yy"]})
+    decoded = decode_images(rd.from_pandas(df), concurrency=1, batch_size=2)
+    small = resize_images(decoded, concurrency=1, in_shape=(32, 32, 3),
+                          out_hw=(16, 16))
+    sp = small.to_pandas().sort_values("media_id")
+    assert (sp["height"] == 16).all() and (sp["width"] == 16).all()
+    # nearest-neighbor resize == numpy strided subsample of the decoded tensor
+    dp = decode_images(rd.from_pandas(df), concurrency=1, batch_size=2
+                       ).to_pandas().sort_values("media_id")
+    full = np.asarray(dp["pixels"].iloc[0], dtype=np.float32).reshape(32, 32, 3)
+    ri = (np.arange(16) * 32) // 16
+    expect = full[ri][:, ri].reshape(-1)
+    np.testing.assert_array_equal(
+        np.asarray(sp["pixels"].iloc[0], dtype=np.float32), expect)
+    feats = extract_features(small, in_dim=16 * 16 * 3, out_dim=8,
+                             concurrency=1).to_pandas().sort_values("media_id")
+    assert len(feats) == 2
+    assert all(len(e) == 8 for e in feats["embedding"])
+    # projection is seeded -> deterministic across runs/actors
+    feats2 = extract_features(
+        resize_images(decode_images(rd.from_pandas(df), concurrency=1),
+                      concurrency=1, in_shape=(32, 32, 3), out_hw=(16, 16)),
+        in_dim=16 * 16 * 3, out_dim=8, concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    np.testing.assert_array_equal(
+        np.stack(feats["embedding"].to_numpy()),
+        np.stack(feats2["embedding"].to_numpy()))
+
+
 def test_prepare_training_data(docs_df, tmp_path):
     from pytimetk_ray.pipelines.prep import prepare_training_data
 
