@@ -411,6 +411,88 @@ def ingest_increment(
     )
 
 
+def write_partitioned_raw(ds: rd.Dataset, raw_dir: str, *,
+                          key: str = "conv_id",
+                          num_partitions: int = DEFAULT_NUM_PARTITIONS) -> None:
+    """Lay the raw corpus out hash-partitioned by the SAME chain the tier
+    shuffle uses (`raw_dir/__part__=<pid>/...parquet`).  This is the layout
+    that makes incremental ingest O(touched partitions): the recompute can
+    open only the affected `__part__=` directories instead of scanning every
+    raw file for rows that hash elsewhere."""
+    from pytimetk_ray.exec import PART_COL, _add_part_arrow
+
+    tagged = ds.map_batches(
+        _add_part_arrow, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+        fn_kwargs=dict(keys=[key], num_partitions=num_partitions, skip=None),
+    )
+    tagged.write_parquet(raw_dir, partition_cols=[PART_COL])
+
+
+def read_partitioned_raw(raw_dir: str, *, pids: Sequence[int] | None = None,
+                         columns: Sequence[str] | None = None) -> rd.Dataset:
+    """Read a ``write_partitioned_raw`` store — all partitions or only
+    ``pids`` (file-level pruning: unlisted ``__part__=`` directories are
+    never opened).  Explicit subdirectory listing sidesteps Ray's root-dir
+    hive inference, which mis-handles column pruning on this layout."""
+    from pytimetk_ray.exec import PART_COL
+
+    import glob
+
+    if pids is None:
+        dirs = sorted(
+            os.path.join(raw_dir, d) for d in os.listdir(raw_dir)
+            if d.startswith(f"{PART_COL}=")
+        )
+    else:
+        dirs = [os.path.join(raw_dir, f"{PART_COL}={pid}")
+                for pid in sorted(pids)]
+    files = sorted(f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+    return rd.read_parquet(files, columns=list(columns) if columns else None)
+
+
+def ingest_increment_partitioned(
+    raw_dir: str,
+    new_ds: rd.Dataset,
+    *,
+    out_dir: str,
+    key: str = "conv_id",
+    date_column: str = "ts",
+    value_column: str = "value",
+    tiers: Sequence[str] = TIER_FREQS,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    input_fingerprint: str = "",
+    gap_fill: bool = False,
+) -> dict[str, pd.DataFrame]:
+    """Incremental ingest against a ``write_partitioned_raw`` store: the
+    increment is (1) appended into the raw store's affected ``__part__=``
+    directories (raw stays the complete source of truth), then (2) ONLY
+    those directories are read back and re-rolled — file-level pruning, so
+    ingest cost scales with the touched partitions, not the corpus.  Same
+    bit-equality contract as ``ingest_increment`` (recompute from raw).
+    ``num_partitions`` must match the raw layout's."""
+    from pytimetk_ray.exec import PART_COL, _add_part_arrow
+
+    pids = affected_partitions(new_ds, key=key, num_partitions=num_partitions)
+    tagged = new_ds.map_batches(
+        _add_part_arrow, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+        fn_kwargs=dict(keys=[key], num_partitions=num_partitions, skip=None),
+    )
+    tagged.write_parquet(raw_dir, partition_cols=[PART_COL])
+
+    tier_names = [TIER_NAMES.get(f, f) for f in tiers]
+    mf.invalidate_partitions(out_dir, tier_names, pids)
+    affected = read_partitioned_raw(
+        raw_dir, pids=pids, columns=[key, date_column, value_column])
+    return rollup_tiers(
+        affected, out_dir=out_dir, key=key, date_column=date_column,
+        value_column=value_column, tiers=tiers,
+        num_partitions=num_partitions, input_fingerprint=input_fingerprint,
+        resume=True, gap_fill=gap_fill,
+    )
+
+
 def expire_tiers(out_dir: str, cutoffs: dict[str, object],
                  *, max_parallel: int = 16) -> dict[str, pd.DataFrame]:
     """Retention expiry: drop buckets older than each tier's cutoff from the

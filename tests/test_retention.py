@@ -100,6 +100,53 @@ def test_ingest_is_idempotent(corpus, tmp_path):
     pd.testing.assert_frame_equal(first, _read_all(d, "1h"))
 
 
+def test_partitioned_raw_ingest_file_pruning(corpus, tmp_path):
+    from pytimetk_ray.pipelines.tiers import (
+        ingest_increment_partitioned,
+        read_partitioned_raw,
+        write_partitioned_raw,
+    )
+
+    base, inc = _split(corpus)
+    raw_dir = str(tmp_path / "raw")
+    out_dir = str(tmp_path / "tiers")
+    full_dir = str(tmp_path / "full")
+    write_partitioned_raw(rd.from_pandas(base), raw_dir, key="conv_id",
+                          num_partitions=P)
+    # initial rollup from the partitioned raw store
+    src = read_partitioned_raw(raw_dir, columns=["conv_id", "ts", "value"])
+    rollup_tiers(src, out_dir=out_dir, key="conv_id", date_column="ts",
+                 value_column="value", tiers=TIERS, num_partitions=P,
+                 input_fingerprint="v1")
+    before = {f: os.path.getmtime(f) for f in _tier_files(out_dir, "1m")}
+
+    ingest_increment_partitioned(
+        raw_dir, rd.from_pandas(inc), out_dir=out_dir, key="conv_id",
+        date_column="ts", value_column="value", tiers=TIERS,
+        num_partitions=P, input_fingerprint="v1")
+
+    # bit-equal to a full recompute over base+inc
+    _rollup(corpus, full_dir, "v1")
+    for tier in ("1m", "1h"):
+        a, b = _read_all(full_dir, tier), _read_all(out_dir, tier)
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a["conv_id"], b["conv_id"])
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy(np.float64).view(np.uint64),
+                b[col].to_numpy(np.float64).view(np.uint64), err_msg=col)
+
+    # the raw store absorbed the increment (complete source of truth)
+    total = read_partitioned_raw(raw_dir, columns=["conv_id"]).count()
+    assert total == len(corpus)
+    # untouched tier partitions were never rewritten
+    touched = affected_partitions(rd.from_pandas(inc), key="conv_id",
+                                  num_partitions=P)
+    for pid in set(range(P)) - touched:
+        f = mf.partition_path(out_dir, "1m", pid)
+        assert os.path.getmtime(f) == before[f]
+
+
 def test_expire_drops_old_buckets_and_updates_manifests(corpus, tmp_path):
     d = str(tmp_path / "t")
     _rollup(corpus, d, "v1")
