@@ -139,6 +139,18 @@ def rollup_tiers(
             resume=resume, salt=salt, gap_fill=gap_fill,
         )
     tier_names = [TIER_NAMES.get(f, f) for f in tiers]
+    if not resume:
+        # resume=False means "replace the checkpoint state": reset the tier
+        # dirs being recomputed so partitions the new input does NOT
+        # populate cannot linger as stale committed data (a later resume
+        # under the same fingerprint would otherwise trust them)
+        import shutil
+
+        for name in tier_names:
+            shutil.rmtree(os.path.join(out_dir, f"tier={name}"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(out_dir, "_manifests", name),
+                          ignore_errors=True)
     fps = {}
     committed = {}
     prev = "raw"

@@ -3,12 +3,18 @@
     ray job submit -- python scripts/run_tiers_job.py \
         --input /data/transcripts --out /data/tiers \
         [--key conv_id --date-column ts --value-column value] \
-        [--partitions 256] [--gap-fill] [--encode] [--no-resume]
+        [--partitions 256] [--gap-fill] [--encode] [--no-resume] \
+        [--ingest /data/new_batch] [--expire 1m=2024-01-10,1h=2023-01-01]
 
 Runs the fused raw→1m→1h→1d cascade with per-partition lineage manifests
 (resume-after-failure: re-submitting the same job skips committed
 partitions), optionally Gorilla/delta-of-delta-encodes each tier into chunk
 tables, and writes a metrics JSON next to the output.
+
+Operational modes: ``--ingest NEW_PARQUET`` folds a new raw batch into an
+existing tier store via partition-level invalidation (bit-equal to a full
+recompute; touched partitions only); ``--expire tier=cutoff,...`` applies a
+retention policy, atomically dropping buckets older than each tier's cutoff.
 
 Owns its Ray session (guarded init — under ``ray job submit`` the cluster
 address is picked up from the environment)."""
@@ -39,6 +45,11 @@ def main() -> None:
     ap.add_argument("--encode", action="store_true",
                     help="also write Gorilla/DoD chunk tables per tier")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--ingest", default=None, metavar="NEW_PARQUET",
+                    help="fold a new raw batch into the existing store "
+                         "(partition-level invalidation; --input = base raw)")
+    ap.add_argument("--expire", default=None, metavar="TIER=CUTOFF,...",
+                    help="retention policy, e.g. 1m=2024-01-10,1h=2023-06-01")
     args = ap.parse_args()
 
     import ray
@@ -66,12 +77,24 @@ def main() -> None:
     t0 = time.time()
     ds = rd.read_parquet(paths, columns=[args.key, args.date_column, args.value_column])
     tiers = tuple(args.tiers.split(","))
-    res = rollup_tiers(
-        ds, out_dir=args.out, key=args.key, date_column=args.date_column,
-        value_column=args.value_column, tiers=tiers,
-        num_partitions=args.partitions, input_fingerprint=fp,
-        resume=not args.no_resume, gap_fill=args.gap_fill, salt=args.salt,
-    )
+    if args.ingest:
+        from pytimetk_ray.pipelines.tiers import ingest_increment
+
+        new_ds = rd.read_parquet(
+            args.ingest, columns=[args.key, args.date_column, args.value_column])
+        res = ingest_increment(
+            ds, new_ds, out_dir=args.out, key=args.key,
+            date_column=args.date_column, value_column=args.value_column,
+            tiers=tiers, num_partitions=args.partitions,
+            input_fingerprint=fp, gap_fill=args.gap_fill,
+        )
+    else:
+        res = rollup_tiers(
+            ds, out_dir=args.out, key=args.key, date_column=args.date_column,
+            value_column=args.value_column, tiers=tiers,
+            num_partitions=args.partitions, input_fingerprint=fp,
+            resume=not args.no_resume, gap_fill=args.gap_fill, salt=args.salt,
+        )
     rollup_sec = time.time() - t0
 
     metrics = {
@@ -112,6 +135,18 @@ def main() -> None:
         ).write_parquet(os.path.join(args.out, "chunks"),
                         partition_cols=["tier"])
         metrics["encode_sec"] = round(time.time() - t1, 3)
+
+    if args.expire:
+        from pytimetk_ray.pipelines.tiers import expire_tiers
+
+        cutoffs = dict(kv.split("=", 1) for kv in args.expire.split(","))
+        t2 = time.time()
+        exp = expire_tiers(args.out, cutoffs)
+        metrics["expire_sec"] = round(time.time() - t2, 3)
+        metrics["expire"] = {
+            tier: {"rows_kept": int(m["row_count"].sum()) if len(m) else 0}
+            for tier, m in exp.items()
+        }
 
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
