@@ -434,6 +434,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ps(_docs(sf_dir), budget=512, num_shards=8)
 
+    def decontaminate(sf_dir):
+        # cross-split contamination: word-8-gram containment of every test-
+        # split doc against the train split (md5 split buckets), distinct
+        # shingles hash-partitioned — the decontamination primitive
+        from pytimetk_ray.pipelines.corpus import cross_split_contamination
+
+        return cross_split_contamination(_docs(sf_dir), shingle_k=8)
+
     def prep_composite(sf_dir):
         # the full training-data prep chain, oracle-checked end to end:
         # quality filter -> exact dedup -> md5-MinHash near-dup components
@@ -1138,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         "doc_unigram_logprob": doc_unigram_logprob,
         "prep_composite": prep_composite,
+        "decontaminate": decontaminate,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
@@ -1827,6 +1836,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
             )
             SELECT doc_id, shard, bin_id, n_tokens FROM packed
+        """,
+
+        "decontaminate": r"""
+            WITH d AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+                FROM documents
+            ),
+            sidx AS (
+                SELECT doc_id, b, ws, unnest(range(1, len(ws)-6)) AS i
+                FROM d WHERE len(ws) >= 8
+            ),
+            sh AS MATERIALIZED (
+                SELECT DISTINCT doc_id, b,
+                       md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                           || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+                FROM sidx
+                UNION
+                SELECT DISTINCT doc_id, b, md5_number_lower(array_to_string(ws, ' '))
+                FROM d WHERE len(ws) BETWEEN 1 AND 7
+            ),
+            train_h AS (SELECT DISTINCT h FROM sh WHERE b < 90),
+            test_sh AS (SELECT doc_id, h FROM sh WHERE b >= 95)
+            SELECT t.doc_id, COUNT(*) AS n_shingles,
+                   COUNT(tr.h) AS n_shared,
+                   COUNT(tr.h) > 0 AS contaminated
+            FROM test_sh t LEFT JOIN train_h tr USING (h)
+            GROUP BY t.doc_id
         """,
 
         # the whole prep chain in ONE statement: quality filter, exact md5

@@ -203,6 +203,85 @@ def pack_sequences(ds: rd.Dataset, *, id_column: str = "doc_id",
     )
 
 
+def cross_split_contamination(
+    ds: rd.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 8,
+    train_pct: int = 90,
+    test_lo: int = 95,
+    num_partitions: int = CORPUS_PARTITIONS,
+) -> rd.Dataset:
+    """Decontamination primitive: for every TEST-split document, count how
+    many of its word ``shingle_k``-grams also occur anywhere in the TRAIN
+    split.  Output: (doc_id, n_shingles, n_shared, contaminated).
+
+    Splits come from the deterministic md5 bucket (``hash_split``
+    semantics): train = bucket < train_pct, test = bucket >= test_lo.
+    Shape: both sides explode to distinct (shingle_hash, ...) rows ->
+    hash-partition by shingle -> per-bucket containment check emits PARTIAL
+    per-doc shared counts -> keyed reduce by doc.  The exchange carries
+    shingle hashes, never text; per-doc totals ride along as sentinel rows
+    (one pass, no second pipeline execution)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, docs, kinds = [], [], []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            b = tx.md5_u64(str(int(i))) % 100
+            if b >= train_pct and b < test_lo:
+                continue  # val split: not part of the containment check
+            is_test = b >= test_lo
+            sh = tx.shingle_strings(t, shingle_k)
+            if not sh:
+                continue
+            u = np.unique(tx.md5_u64_many(sh))
+            hs.append(u)
+            docs.append(np.full(len(u), int(i) if is_test else -1,
+                                dtype=np.int64))
+            kinds.append(np.full(len(u), np.int8(1 if is_test else 0)))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 id_column: pd.Series([], dtype=np.int64),
+                                 "k": pd.Series([], dtype=np.int8)})
+        return pd.DataFrame({
+            "h": np.concatenate(hs).astype(np.int64),
+            id_column: np.concatenate(docs),
+            "k": np.concatenate(kinds),
+        })
+
+    def bucket_check(part: pd.DataFrame) -> pd.DataFrame:
+        k = part["k"].to_numpy()
+        hs = part["h"].to_numpy()
+        ids = part[id_column].to_numpy()
+        train_h = np.unique(hs[k == 0])
+        test = k == 1
+        th, tid = hs[test], ids[test]
+        shared = np.isin(th, train_h, assume_unique=False)
+        # partial (doc, n_shingles_here, n_shared_here) rows
+        df = pd.DataFrame({id_column: tid, "tot": np.int64(1),
+                           "shr": shared.astype(np.int64)})
+        g = df.groupby(id_column, as_index=False).sum()
+        return g
+
+    def reduce_doc(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(id_column, as_index=False)[["tot", "shr"]].sum()
+        return pd.DataFrame({
+            id_column: g[id_column].to_numpy(np.int64),
+            "n_shingles": g["tot"].to_numpy(np.int64),
+            "n_shared": g["shr"].to_numpy(np.int64),
+            "contaminated": (g["shr"].to_numpy(np.int64) > 0),
+        })
+
+    partial = partitioned_group_map(
+        ds.map_batches(explode, batch_format="pandas"), ["h"], bucket_check,
+        sort_by=["h"], num_partitions=num_partitions,
+    )
+    return partitioned_group_map(partial, [id_column], reduce_doc,
+                                 sort_by=[id_column],
+                                 num_partitions=num_partitions)
+
+
 def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
                     text_column: str = "text", vocab_size: int = 256,
                     num_partitions: int = CORPUS_PARTITIONS,

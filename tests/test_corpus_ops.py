@@ -106,6 +106,29 @@ def test_pack_sequences_greedy_invariants(docs_df):
             assert prev_fill + ns[i] > budget
 
 
+def test_cross_split_contamination_planted():
+    from pytimetk_ray.pipelines.corpus import cross_split_contamination
+
+    # find ids landing in train (<90) and test (>=95) buckets
+    train_ids = [i for i in range(1000) if tx.md5_u64(str(i)) % 100 < 90][:3]
+    test_ids = [i for i in range(1000) if tx.md5_u64(str(i)) % 100 >= 95][:2]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    rows = [{"doc_id": train_ids[0], "text": f"{shared} plus unrelated tail words here"},
+            {"doc_id": train_ids[1], "text": "totally different content " * 4},
+            {"doc_id": train_ids[2], "text": "yet more train only stuff " * 4},
+            # contaminated test doc: contains the shared 8-gram
+            {"doc_id": test_ids[0], "text": f"prefix words then {shared} and suffix"},
+            # clean test doc
+            {"doc_id": test_ids[1], "text": "clean evaluation document nothing shared " * 3}]
+    df = pd.DataFrame(rows)
+    out = cross_split_contamination(rd.from_pandas(df), shingle_k=8
+                                    ).to_pandas().set_index("doc_id")
+    assert bool(out.loc[test_ids[0], "contaminated"])
+    assert out.loc[test_ids[0], "n_shared"] >= 1
+    assert not bool(out.loc[test_ids[1], "contaminated"])
+    assert set(out.index) == set(test_ids)  # train/val docs never emitted
+
+
 def test_unigram_logprob_matches_local(docs_df):
     out = unigram_logprob(rd.from_pandas(docs_df), vocab_size=64).to_pandas()
     words_per_doc = {
