@@ -726,6 +726,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _nan_to_null(ds, cols)
         return ds.select_columns(["event_id", "user_id"] + cols)
 
+    def fin_risk_log(sf_dir):
+        # the current reference's log-return formulation (ln(close/prev),
+        # rolling_risk_metrics.py:375-376); round-6 because ln is computed
+        # by two different libm implementations
+        ds = fin.augment_rolling_risk_metrics(_events(sf_dir), ["user_id"], ["ts"],
+                                              "value", window=5, returns="log")
+        cols = ["value_sharpe_ratio_5", "value_volatility_annualized_5"]
+        ds = _round_cols(_nan_to_null(ds, cols), cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
     def fin_hurst(sf_dir):
         # round-6: the oracle recomputes R/S via a pairs self-join (AVG vs
         # numpy pairwise mean differ at ~1e-15; log output is boundary-safe)
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_qsmomentum": fin_qsmomentum,
         "fin_risk": fin_risk,
         "fin_risk_bench": fin_risk_bench,
+        "fin_risk_log": fin_risk_log,
         "fin_hurst": fin_hurst,
         "fin_adx": fin_adx,
         "fin_regime": fin_regime,
@@ -3237,6 +3248,37 @@ def oracle_sql() -> dict[str, str]:
                        ((6.0 * (m4s/5.0 / ((ss/5.0) * (ss/5.0)) - 3.0) + 6.0) * 4.0)
                            / (3.0 * 2.0) END
                        AS value_kurtosis_5
+            FROM s
+        """,
+        "fin_risk_log": """
+            WITH r AS (
+                -- numpy ln of a zero/negative ratio is -inf/NaN (nulled
+                -- downstream); DuckDB ln(0) ERRORS, so guard to NULL
+                SELECT event_id, user_id, ts,
+                       CASE WHEN value > 0 AND LAG(value) OVER w > 0
+                            THEN ln(value / LAG(value) OVER w) END AS ret,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), l AS (
+                SELECT event_id, user_id, rn,
+                       ret AS r0, LAG(ret,1) OVER w AS r1, LAG(ret,2) OVER w AS r2,
+                       LAG(ret,3) OVER w AS r3, LAG(ret,4) OVER w AS r4
+                FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), m AS (
+                SELECT event_id, user_id, rn, r0, r1, r2, r3, r4,
+                       ((((r4 + r3) + r2) + r1) + r0) / 5.0 AS mu
+                FROM l
+            ), s AS (
+                SELECT event_id, user_id, rn, mu,
+                       (((((r4-mu)*(r4-mu) + (r3-mu)*(r3-mu)) + (r2-mu)*(r2-mu))
+                        + (r1-mu)*(r1-mu)) + (r0-mu)*(r0-mu)) AS ss
+                FROM m
+            )
+            SELECT event_id, user_id,
+                   ROUND(CASE WHEN rn >= 6 THEN (mu / sqrt(ss / 4.0)) * sqrt(252.0) END, 6)
+                       AS value_sharpe_ratio_5,
+                   ROUND(CASE WHEN rn >= 6 THEN sqrt(ss / 4.0) * sqrt(252.0) END, 6)
+                       AS value_volatility_annualized_5
             FROM s
         """,
         "fin_risk_bench": """

@@ -413,6 +413,7 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
                                  close_column: str, window=252,
                                  risk_free_rate=0.0, trading_days=252,
                                  benchmark_column: str | None = None,
+                                 returns: str = "pct",
                                  **kw) -> rd.Dataset:
     """Rolling Sharpe/Sortino/vol/omega/skew/kurt — plus Treynor and
     information ratio when ``benchmark_column`` is given — over full return
@@ -421,8 +422,10 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
     first; sample skewness/excess-kurtosis with the standard bias
     corrections) instead of pandas' online rolling kernels — numerically
     equivalent at ~1e-15 and bit-reproducible by the DuckDB oracle's
-    LAG-chain SQL.  Documented variants vs the current reference: returns
-    are pct_change (the reference moved to log returns), windows are FULL
+    LAG-chain SQL.  ``returns="log"`` uses the current reference's
+    ln(close/prev) returns (:375-376); the default "pct" keeps the
+    pct_change formulation the round-1 oracles pin.  Remaining documented
+    variants vs the current reference: windows are FULL
     (min_periods == window, not window//2), and Sortino's downside std
     spans only the window's negative returns (sample ddof=1, NaN when
     fewer than two) rather than the population mean of clipped squares.
@@ -434,7 +437,15 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(list(group_keys), sort=False, group_keys=False)[close_column]
-        rets = g.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+
+        def _rets(series_gb, values):
+            prev = series_gb.shift(1).to_numpy(dtype=np.float64)
+            if returns == "log":
+                with np.errstate(all="ignore"):
+                    return np.log(values / prev)
+            return values / prev - 1.0
+
+        rets = _rets(g, part[close_column].to_numpy(dtype=np.float64))
         n = len(rets)
         ann = np.sqrt(trading_days)
         rf = risk_free_rate / trading_days
@@ -450,7 +461,7 @@ def augment_rolling_risk_metrics(ds: rd.Dataset, group_keys, order_by,
         if benchmark_column is not None:
             gb = part.groupby(list(group_keys), sort=False,
                               group_keys=False)[benchmark_column]
-            brets = gb.pct_change(fill_method=None).to_numpy(dtype=np.float64)
+            brets = _rets(gb, part[benchmark_column].to_numpy(dtype=np.float64))
             cols[f"{c}_treynor_ratio_{w}"] = np.full(n, np.nan)
             cols[f"{c}_information_ratio_{w}"] = np.full(n, np.nan)
         if n >= w:
