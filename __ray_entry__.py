@@ -434,6 +434,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ps(_docs(sf_dir), budget=512, num_shards=8)
 
+    def doc_repetition(sf_dir):
+        # Gopher-style duplicate-3-gram fraction per doc (unrounded: ratio
+        # of identically-computed ints + one exact subtraction)
+        from pytimetk_ray.pipelines.corpus import ngram_repetition
+
+        return ngram_repetition(_docs(sf_dir))
+
     def decontaminate(sf_dir):
         # cross-split contamination: word-8-gram containment of every test-
         # split doc against the train split (md5 split buckets), distinct
@@ -1157,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": doc_unigram_logprob,
         "prep_composite": prep_composite,
         "decontaminate": decontaminate,
+        "doc_repetition": doc_repetition,
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_jaccard": dedup_jaccard,
@@ -1847,6 +1855,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
             )
             SELECT doc_id, shard, bin_id, n_tokens FROM packed
+        """,
+
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ),
+            sidx AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                FROM toks WHERE len(ws) >= 3
+            ),
+            sh AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                FROM sidx
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM toks WHERE len(ws) BETWEEN 1 AND 2
+            )
+            SELECT doc_id, COUNT(*) AS n_ngrams,
+                   1.0 - (CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*)) AS dup_ratio
+            FROM sh GROUP BY doc_id
         """,
 
         "decontaminate": r"""

@@ -203,6 +203,30 @@ def pack_sequences(ds: rd.Dataset, *, id_column: str = "doc_id",
     )
 
 
+def ngram_repetition(ds: rd.Dataset, *, id_column: str = "doc_id",
+                     text_column: str = "text",
+                     shingle_k: int = 3) -> rd.Dataset:
+    """Gopher-style intra-document repetition signal: the fraction of word
+    ``shingle_k``-grams that are duplicates, ``1 - distinct/total`` per doc.
+    Stateless ``map_batches`` projection — no shuffle; docs with no words
+    are skipped (mirrors the SQL shingle expansion)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, tot, dup = [], [], []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            sh = tx.shingle_strings(t, shingle_k)
+            if not sh:
+                continue
+            ids.append(i)
+            tot.append(len(sh))
+            dup.append(1.0 - len(set(sh)) / len(sh))
+        return pd.DataFrame({id_column: np.array(ids, dtype=np.int64),
+                             "n_ngrams": np.array(tot, dtype=np.int64),
+                             "dup_ratio": np.array(dup, dtype=np.float64)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def cross_split_contamination(
     ds: rd.Dataset,
     *,
@@ -295,12 +319,20 @@ def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
     the broadcast once per actor.  Docs with no tokens are dropped (mirrors
     the SQL token expansion).  Output: (doc_id, n_tokens, logprob)."""
     totals = token_totals(ds, text_column=text_column,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions).materialize()
     total_tokens = int(totals.sum("cnt"))
-    top = (totals.to_pandas()
-           .sort_values(["cnt", "token"], ascending=[False, True],
-                        kind="mergesort")
-           .head(vocab_size))
+
+    # top-V selected DISTRIBUTIVELY (per-partition top-V -> one tiny final
+    # reduce) — the driver only ever sees V rows, never the full vocabulary
+    def local_top(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(["cnt", "token"], ascending=[False, True],
+                                kind="mergesort").head(vocab_size)
+
+    top = (partitioned_group_map(
+        partitioned_group_map(totals, ["token"], local_top,
+                              sort_by=None, num_partitions=num_partitions),
+        [], local_top, sort_by=None, num_partitions=1,
+    ).to_pandas())
     logp = {t: float(np.log(c / total_tokens))
             for t, c in zip(top["token"], top["cnt"])}
     oov = float(np.log(1.0 / total_tokens))
