@@ -3281,10 +3281,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fin_risk_log": """
             WITH r AS (
-                -- numpy ln of a zero/negative ratio is -inf/NaN (nulled
-                -- downstream); DuckDB ln(0) ERRORS, so guard to NULL
+                -- mirror numpy exactly: ln(v/prev) is finite iff the RATIO
+                -- is > 0 (both-negative values included); zero/negative
+                -- ratios are -inf/NaN in numpy (nulled downstream) and
+                -- would ERROR in DuckDB ln, so guard on the ratio (v/0 is
+                -- NULL in DuckDB -> NULL > 0 -> NULL -> CASE falls to NULL,
+                -- matching numpy's nulled inf)
                 SELECT event_id, user_id, ts,
-                       CASE WHEN value > 0 AND LAG(value) OVER w > 0
+                       CASE WHEN value / LAG(value) OVER w > 0
                             THEN ln(value / LAG(value) OVER w) END AS ret,
                        ROW_NUMBER() OVER w AS rn
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -47,6 +47,25 @@ def _word_counts(texts) -> pd.Series:
     return pd.Series(toks).value_counts(sort=False)
 
 
+def _partial_counts(text_column: str):
+    """Per-batch combiner: one (token, cnt) row per DISTINCT token — the
+    shared pre-aggregation for vocab_topk / token_totals / unigram_logprob
+    (ONE definition so their counts can never disagree)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_counts(batch[text_column].tolist())
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    return partial
+
+
+def _head_by_count(part: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Shared top-N pruning order: (cnt desc, token asc), stable."""
+    return part.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort").head(n).reset_index(drop=True)
+
+
 def vocab_topk(ds: rd.Dataset, *, text_column: str = "text", top_n: int = 50,
                num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
     """Top-N corpus tokens by frequency, ties broken by token ascending.
@@ -56,45 +75,31 @@ def vocab_topk(ds: rd.Dataset, *, text_column: str = "text", top_n: int = 50,
     final reduce over <= P*N rows.  The all-to-all carries the distinct-token
     profile of each batch, not the token stream."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = _word_counts(batch[text_column].tolist())
-        return pd.DataFrame({"token": vc.index.astype(object),
-                             "cnt": vc.to_numpy(np.int64)})
-
     def local_topn(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby("token", as_index=False, sort=False)["cnt"].sum()
-        g = g.sort_values(["cnt", "token"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(top_n)
+        return _head_by_count(g, top_n)
 
-    def final_topn(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["cnt", "token"], ascending=[False, True],
-                                kind="mergesort")
-        return part.head(top_n).reset_index(drop=True)
-
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(_partial_counts(text_column),
+                              batch_format="pandas")
     per_part = partitioned_group_map(partials, ["token"], local_topn,
                                      sort_by=["token"],
                                      num_partitions=num_partitions)
-    return partitioned_group_map(per_part, [], final_topn, sort_by=None,
-                                 num_partitions=1)
+    return partitioned_group_map(per_part, [],
+                                 lambda part: _head_by_count(part, top_n),
+                                 sort_by=None, num_partitions=1)
 
 
 def token_totals(ds: rd.Dataset, *, text_column: str = "text",
                  num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
     """(token, cnt) totals over the corpus (partial-agg combine shape)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = _word_counts(batch[text_column].tolist())
-        return pd.DataFrame({"token": vc.index.astype(object),
-                             "cnt": vc.to_numpy(np.int64)})
-
     def reduce_sum(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("token", as_index=False, sort=False)["cnt"].sum()
 
-    return partitioned_group_map(ds.map_batches(partial, batch_format="pandas"),
-                                 ["token"], reduce_sum, sort_by=["token"],
-                                 num_partitions=num_partitions)
+    return partitioned_group_map(
+        ds.map_batches(_partial_counts(text_column), batch_format="pandas"),
+        ["token"], reduce_sum, sort_by=["token"],
+        num_partitions=num_partitions)
 
 
 def hash_split(ds: rd.Dataset, *, id_column: str = "doc_id",
@@ -324,14 +329,12 @@ def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
 
     # top-V selected DISTRIBUTIVELY (per-partition top-V -> one tiny final
     # reduce) — the driver only ever sees V rows, never the full vocabulary
-    def local_top(part: pd.DataFrame) -> pd.DataFrame:
-        return part.sort_values(["cnt", "token"], ascending=[False, True],
-                                kind="mergesort").head(vocab_size)
-
     top = (partitioned_group_map(
-        partitioned_group_map(totals, ["token"], local_top,
-                              sort_by=None, num_partitions=num_partitions),
-        [], local_top, sort_by=None, num_partitions=1,
+        partitioned_group_map(
+            totals, ["token"], lambda p: _head_by_count(p, vocab_size),
+            sort_by=None, num_partitions=num_partitions),
+        [], lambda p: _head_by_count(p, vocab_size),
+        sort_by=None, num_partitions=1,
     ).to_pandas())
     logp = {t: float(np.log(c / total_tokens))
             for t, c in zip(top["token"], top["cnt"])}

@@ -156,9 +156,12 @@ def rollup_tiers(
     prev = "raw"
     for name in tier_names:
         # semantics-affecting params are part of the fingerprint so
-        # checkpoints self-invalidate when they change (a resume with
-        # gap_fill toggled must not reuse sparse/dense partitions)
-        fps[name] = f"{input_fingerprint}|{prev}->{name}" + (
+        # checkpoints self-invalidate when they change: gap_fill toggles the
+        # sparse/dense layout, and num_partitions changes row->partition
+        # placement (a resume or ingest under a different P would otherwise
+        # silently mix layouts — skip-pruning by NEW pid against OLD-layout
+        # files drops and duplicates buckets)
+        fps[name] = f"{input_fingerprint}|P{num_partitions}|{prev}->{name}" + (
             "|gapfill" if gap_fill else "")
         committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
         prev = name
@@ -534,6 +537,12 @@ def expire_tiers(out_dir: str, cutoffs: dict[str, object],
         cutoff = np.int64(cutoff_ns).astype("datetime64[ns]").astype(
             f"datetime64[{unit}]")
         kept = df[df["bucket_ts"].to_numpy() >= cutoff].reset_index(drop=True)
+        if len(kept) == len(df):
+            # no-op cutoff for this partition: keep the parquet AND the
+            # fingerprint untouched so resume stays valid and the rewrite
+            # I/O is skipped (an expiry that drops nothing must not
+            # invalidate the whole store)
+            return old
         fp = f"{old['input_fingerprint']}|expire@{cutoff_ns}"
         return mf.commit_partition(out_dir, tier, pid, kept, fp)
 

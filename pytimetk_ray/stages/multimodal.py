@@ -99,6 +99,11 @@ class ImageResizer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ih, iw, c = self.in_shape
         oh, ow = self.out_hw
+        if len(batch) == 0:
+            out = pd.DataFrame({"media_id": [], "height": [], "width": [],
+                                "channels": []})
+            out["pixels"] = []
+            return out
         px = np.stack([np.asarray(p, dtype=np.float32) for p in batch["pixels"]])
         px = px.reshape(len(batch), ih, iw, c)
         small = px[:, self.row_idx][:, :, self.col_idx]  # (B, oh, ow, c)
@@ -121,6 +126,10 @@ class FeatureExtractor:
         self.W /= np.sqrt(in_dim)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = pd.DataFrame({"media_id": []})
+            out["embedding"] = []
+            return out
         px = np.stack([np.asarray(p, dtype=np.float32) for p in batch["pixels"]])
         emb = px @ self.W  # (B, out_dim), one BLAS call per batch
         out = pd.DataFrame({"media_id": batch["media_id"].to_numpy()})

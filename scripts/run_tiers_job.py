@@ -80,6 +80,15 @@ def main() -> None:
     if args.ingest:
         from pytimetk_ray.pipelines.tiers import ingest_increment
 
+        if args.salt:
+            raise SystemExit(
+                "--ingest does not support salted stores (stage-A salted "
+                "partitions key on (conv, bucket-hash)); re-run the full "
+                "rollup with --salt instead")
+        if args.no_resume:
+            raise SystemExit(
+                "--ingest is inherently a resume operation (untouched "
+                "partitions must be reused); drop --no-resume")
         new_ds = rd.read_parquet(
             args.ingest, columns=[args.key, args.date_column, args.value_column])
         res = ingest_increment(
