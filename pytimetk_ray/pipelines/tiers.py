@@ -163,6 +163,13 @@ def rollup_tiers(
         # files drops and duplicates buckets)
         fps[name] = f"{input_fingerprint}|P{num_partitions}|{prev}->{name}" + (
             "|gapfill" if gap_fill else "")
+        if resume:
+            # purge STALE partitions (manifest fingerprint from other
+            # params/inputs, or pid outside the current layout): their data
+            # files would otherwise sit beside the new layout and be
+            # double-read by the glob-based tier readers
+            mf.purge_stale_partitions(out_dir, name, fps[name],
+                                      num_partitions)
         committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
         prev = name
 
@@ -566,6 +573,55 @@ def expire_tiers(out_dir: str, cutoffs: dict[str, object],
         rows.extend(ray.get(refs))
         results[tier] = pd.DataFrame(rows)
     return results
+
+
+TIER_RESOLUTION_NS = {"1m": 60_000_000_000, "1h": 3_600_000_000_000,
+                      "1d": 86_400_000_000_000}
+
+
+def query_tiers(out_dir: str, *, start=None, end=None,
+                resolution: str | None = None,
+                tiers_present: Sequence[str] = ("1m", "1h", "1d")) -> rd.Dataset:
+    """The retention store's read path: pick the COARSEST stored tier whose
+    grain still satisfies ``resolution`` (fewest rows to scan — the whole
+    point of keeping rollup tiers), filter to [start, end) on bucket_ts with
+    a vectorized predicate, and derive value_mean at read.
+
+    ``resolution``: a tier name ('1m'/'1h'/'1d') or None (finest stored).
+    A dashboard asking for daily numbers over a year reads the 1d tier
+    (~365 rows/conv), never the raw or 1m data."""
+    stored = [t for t in tiers_present
+              if os.path.isdir(os.path.join(out_dir, f"tier={t}"))]
+    if not stored:
+        raise FileNotFoundError(f"no tier directories under {out_dir}")
+    if resolution is None:
+        tier = min(stored, key=lambda t: TIER_RESOLUTION_NS.get(t, 0))
+    else:
+        want = TIER_RESOLUTION_NS.get(resolution)
+        if want is None:
+            raise ValueError(f"unknown resolution {resolution!r}")
+        ok = [t for t in stored if TIER_RESOLUTION_NS.get(t, 10**30) <= want]
+        if not ok:
+            raise ValueError(
+                f"no stored tier is fine enough for resolution {resolution!r}"
+                f" (stored: {stored})")
+        tier = max(ok, key=lambda t: TIER_RESOLUTION_NS[t])
+    ds = read_tier(out_dir, tier)
+    if start is not None or end is not None:
+        lo = pd.Timestamp(start) if start is not None else None
+        hi = pd.Timestamp(end) if end is not None else None
+
+        def clip(batch: pd.DataFrame) -> pd.DataFrame:
+            ts = batch["bucket_ts"]
+            mask = pd.Series(True, index=batch.index)
+            if lo is not None:
+                mask &= ts >= lo
+            if hi is not None:
+                mask &= ts < hi
+            return batch[mask]
+
+        ds = ds.map_batches(clip, batch_format="pandas")
+    return ds
 
 
 def read_tier(out_dir: str, tier: str) -> rd.Dataset:

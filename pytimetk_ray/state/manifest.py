@@ -93,6 +93,53 @@ def invalidate_partitions(out_dir: str, tiers: Iterable[str],
     return n
 
 
+def purge_stale_partitions(out_dir: str, tier: str, current_fingerprint: str,
+                           num_partitions: int) -> int:
+    """Remove (data + manifest of) partitions that do NOT belong to the
+    current run's layout: manifest fingerprint differs (params/inputs
+    changed), or pid >= num_partitions (an old larger layout — those pids
+    would never be overwritten and the glob-based tier readers would
+    double-read them), or a data file with no manifest and an out-of-range
+    pid.  In-range unmanifested files are left alone — they are overwritten
+    atomically on recompute.  Returns the number of partitions purged."""
+    n = 0
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    mdir = _manifest_dir(out_dir, tier)
+    seen_pids = set()
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not name.endswith(".json"):
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+                pid = int(m["partition_id"])
+            except (json.JSONDecodeError, OSError, KeyError, ValueError):
+                os.remove(p)
+                continue
+            seen_pids.add(pid)
+            if m.get("input_fingerprint") != current_fingerprint or pid >= num_partitions:
+                os.remove(p)
+                data = partition_path(out_dir, tier, pid)
+                if os.path.exists(data):
+                    os.remove(data)
+                n += 1
+    if os.path.isdir(tier_dir):
+        for name in os.listdir(tier_dir):
+            if not (name.startswith("part=") and name.endswith(".parquet")):
+                continue
+            try:
+                pid = int(name[len("part="):-len(".parquet")])
+            except ValueError:
+                continue
+            if pid >= num_partitions:
+                os.remove(os.path.join(tier_dir, name))
+                if pid not in seen_pids:
+                    n += 1
+    return n
+
+
 def commit_partition(
     out_dir: str,
     tier: str,

@@ -168,6 +168,43 @@ def test_expire_drops_old_buckets_and_updates_manifests(corpus, tmp_path):
     assert read_tier(d, "1m").count() == len(ref)
 
 
+def test_partition_count_change_self_invalidates(corpus, tmp_path):
+    # resuming with a different num_partitions must NOT mix layouts: the
+    # fingerprint embeds P, so nothing is trusted and the store recomputes
+    d = str(tmp_path / "t")
+    _rollup(corpus, d, "v1")  # P = 8
+    full = _read_all(d, "1m")
+    res = rollup_tiers(rd.from_pandas(corpus), out_dir=d, key="conv_id",
+                       date_column="ts", value_column="value", tiers=TIERS,
+                       num_partitions=4, input_fingerprint="v1", resume=True)
+    assert (res["1m"]["input_fingerprint"].str.contains(r"\|P4\|")).all()
+    # stale P=8 partitions are PURGED (files + manifests) so glob-based
+    # readers see exactly the new layout — no duplicates, full coverage
+    assert len(_tier_files(d, "1m")) == 4
+    pd.testing.assert_frame_equal(_read_all(d, "1m"), full)
+    assert mf.committed_partitions(d, "1m") == {0, 1, 2, 3}
+
+
+def test_query_tiers_picks_coarsest_sufficient(corpus, tmp_path):
+    from pytimetk_ray.pipelines.tiers import query_tiers
+
+    d = str(tmp_path / "t")
+    _rollup(corpus, d, "v1")  # tiers 1m + 1h
+    all_1h = _read_all(d, "1h")
+    # resolution='1d' has no stored tier coarse... 1h <= 1d so 1h serves it
+    got = query_tiers(d, resolution="1d").to_pandas()
+    assert len(got) == len(all_1h)
+    assert "value_mean" in got.columns
+    # finest default = 1m
+    assert query_tiers(d).count() == len(_read_all(d, "1m"))
+    # range clip on the coarse tier
+    cut = pd.Timestamp(all_1h["bucket_ts"].quantile(0.5)).ceil("1h")
+    got2 = query_tiers(d, start=cut, resolution="1h").to_pandas()
+    assert len(got2) == (all_1h["bucket_ts"] >= cut).sum()
+    with pytest.raises(ValueError):
+        query_tiers(d, resolution="bogus")
+
+
 def test_expired_store_does_not_resume_as_committed(corpus, tmp_path):
     d = str(tmp_path / "t")
     _rollup(corpus, d, "v1")
