@@ -361,6 +361,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round_cols(_cast_bucket_us(t), ["value_sum"])
 
+    def tier_query_1h(sf_dir):
+        # the retention store's read path: rollup, then query_tiers picks
+        # the coarsest tier satisfying resolution='1h', clips the range and
+        # derives value_mean at read (mean is never stored)
+        from pytimetk_ray.pipelines.tiers import query_tiers
+
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_qr_"), "tiers")
+        ds = _events(sf_dir).map_batches(
+            lambda b: b.rename(columns={"user_id": "conv_id"}), batch_format="pandas"
+        )
+        rollup_tiers(ds, out_dir=out, key="conv_id", date_column="ts",
+                     value_column="value", num_partitions=16,
+                     input_fingerprint="qq", tiers=("1min", "1h"))
+        t = query_tiers(out, start="2024-01-08", end="2024-01-22",
+                        resolution="1h").select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count", "value_mean"])
+        return _round_cols(_cast_bucket_us(t), ["value_sum", "value_mean"])
+
     def tpch_q1(sf_dir):
         ds = rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
@@ -1153,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_rollup_1h": tier_rollup_1h,
         "tier_ingest_1h": tier_ingest_1h,
         "tier_expire_1h": tier_expire_1h,
+        "tier_query_1h": tier_query_1h,
         "tpch_q1": tpch_q1,
         "dedup_exact": dedup_exact,
         "doc_token_count": doc_token_count,
@@ -1781,6 +1800,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value)             AS value_min,
                    MAX(value)             AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "tier_query_1h": """
+            SELECT user_id AS conv_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   ROUND(SUM(value) / COUNT(value), 6) AS value_mean
+            FROM events GROUP BY 1, 2
+            HAVING date_trunc('hour', ts) >= TIMESTAMP '2024-01-08 00:00:00'
+               AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-22 00:00:00'
         """,
         "tier_expire_1h": """
             SELECT user_id AS conv_id,
