@@ -205,6 +205,32 @@ def test_query_tiers_picks_coarsest_sufficient(corpus, tmp_path):
         query_tiers(d, resolution="bogus")
 
 
+def test_ingest_crash_between_invalidate_and_recompute(corpus, tmp_path):
+    # simulate a crash AFTER manifests were invalidated but BEFORE the
+    # recompute ran: the store has stale parquet without manifests; simply
+    # re-running the ingest must produce the full correct result
+    base, inc = _split(corpus)
+    d = str(tmp_path / "t")
+    full_dir = str(tmp_path / "full")
+    _rollup(base, d, "v1")
+    pids = affected_partitions(rd.from_pandas(inc), key="conv_id",
+                               num_partitions=P)
+    # the "crash": invalidation happened, recompute never ran
+    mf.invalidate_partitions(d, ["1m", "1h"], pids)
+    # retry the whole ingest (idempotent by construction)
+    ingest_increment(rd.from_pandas(base), rd.from_pandas(inc), out_dir=d,
+                     key="conv_id", date_column="ts", value_column="value",
+                     tiers=TIERS, num_partitions=P, input_fingerprint="v1")
+    _rollup(corpus, full_dir, "v1")
+    for tier in ("1m", "1h"):
+        a, b = _read_all(full_dir, tier), _read_all(d, tier)
+        assert len(a) == len(b)
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy(np.float64).view(np.uint64),
+                b[col].to_numpy(np.float64).view(np.uint64), err_msg=col)
+
+
 def test_expired_store_does_not_resume_as_committed(corpus, tmp_path):
     d = str(tmp_path / "t")
     _rollup(corpus, d, "v1")
