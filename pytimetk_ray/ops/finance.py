@@ -358,8 +358,12 @@ def augment_fip_momentum(ds: rd.Dataset, group_keys, order_by,
                 with np.errstate(all="ignore"):
                     for a, b in _chunked_rows(len(win), w):
                         wv = win[a:b]
-                        # inf returns (price hitting zero) count as missing,
-                        # matching pandas rolling's internal inf->NaN coercion
+                        # ±inf returns (price hitting zero) NaN the whole
+                        # window: pandas rolling coerces inf->NaN internally
+                        # (verified pandas 2.2.2: Series([1,inf,3]).rolling(2)
+                        # .apply(sum) == [nan,nan,nan]), so the reference's
+                        # rolling.apply produces NaN there too — parity pinned
+                        # by test_finance.py's zero-price fixture
                         invalid = ~np.isfinite(wv).all(axis=1)
                         pct_neg = (wv < 0).sum(axis=1) / float(w)
                         pct_pos = (wv > 0).sum(axis=1) / float(w)

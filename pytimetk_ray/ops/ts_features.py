@@ -408,8 +408,17 @@ def ts_features(
 ) -> rd.Dataset:
     """Per-series feature vector.  With the external ``tsfeatures`` package
     installed, unknown feature names are rejected the same way; the built-in
-    set (BUILTIN_FEATURES) covers the default tsfeatures surface except
-    GARCH-based heterogeneity (gated: needs a GARCH fitter)."""
+    set (BUILTIN_FEATURES, 37 features) covers the default tsfeatures
+    surface INCLUDING the GARCH(1,1) heterogeneity quartet (built-in numpy
+    MLE — no external fitter needed).
+
+    Optimizer-backed features are OPT-IN: ``features=None`` (the default)
+    computes the closed-form features only and deliberately omits
+    holt_alpha/holt_beta, hw_alpha/hw_beta/hw_gamma and the heterogeneity
+    quartet (arch_acf/garch_acf/arch_r2/garch_r2), because each runs an
+    iterative Nelder-Mead / MLE fit PER GROUP — a per-series cost you should
+    choose explicitly at scale.  Request them by name, e.g.
+    ``features=[*BUILTIN_FEATURES]`` for everything."""
     by = list(by)
     try:
         import tsfeatures  # noqa: F401

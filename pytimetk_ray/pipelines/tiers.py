@@ -91,6 +91,47 @@ def _segment_rollup(codes, bucket, sums, counts, mins, maxs):
     )
 
 
+def _tier_fingerprints(input_fingerprint: str, tier_names: Sequence[str],
+                       num_partitions: int, gap_fill: bool) -> dict[str, str]:
+    """The per-tier fingerprint chain (semantics-affecting params included so
+    checkpoints self-invalidate — see rollup_tiers).  Single source of truth
+    for rollup_tiers AND the incremental-ingest compatibility pre-check."""
+    fps = {}
+    prev = "raw"
+    for name in tier_names:
+        fps[name] = f"{input_fingerprint}|P{num_partitions}|{prev}->{name}" + (
+            "|gapfill" if gap_fill else "")
+        prev = name
+    return fps
+
+
+def _committed_outside_increment(out_dir: str, tier: str, fp: str,
+                                 num_partitions: int,
+                                 pids: set[int]) -> set[int]:
+    """Resume set for an incremental recompute whose dataset covers ONLY the
+    partitions in ``pids``.  Partitions outside the increment are trusted
+    when their manifest fingerprint is the expected one OR an
+    ``|expire@``-suffixed descendant of it (valid retention state — expiry
+    only removes rows, the lineage is still this store's).  Any OTHER
+    mismatch (different num_partitions / gap_fill / input fingerprint) means
+    the stored layout is incompatible; the increment recompute would never
+    rewrite those partitions, so purging them loses data permanently — fail
+    loudly instead and require a full rollup."""
+    committed: set[int] = set()
+    for pid, got in mf.partition_fingerprints(out_dir, tier).items():
+        if pid in pids:
+            continue  # invalidated by the caller; recomputed from raw
+        if pid >= num_partitions or not (
+                got == fp or got.startswith(fp + "|expire@")):
+            raise ValueError(
+                f"tier={tier} partition {pid} carries fingerprint {got!r} "
+                f"(expected {fp!r} or an |expire@ descendant): the store was "
+                f"written under different params — run a full rollup over "
+                f"the complete raw store instead of an incremental ingest")
+        committed.add(pid)
+    return committed
+
+
 def rollup_tiers(
     ds: rd.Dataset,
     *,
@@ -106,6 +147,7 @@ def rollup_tiers(
     salt: int | None = None,
     _from_tier: bool = False,
     _part_keys: Sequence[str] | None = None,
+    _increment_pids: set[int] | None = None,
 ) -> dict[str, pd.DataFrame]:
     """Run the tier cascade; returns {tier_name: manifest frame}.
 
@@ -151,27 +193,34 @@ def rollup_tiers(
                           ignore_errors=True)
             shutil.rmtree(os.path.join(out_dir, "_manifests", name),
                           ignore_errors=True)
-    fps = {}
+    # semantics-affecting params are part of the fingerprint so checkpoints
+    # self-invalidate when they change: gap_fill toggles the sparse/dense
+    # layout, and num_partitions changes row->partition placement (a resume
+    # or ingest under a different P would otherwise silently mix layouts —
+    # skip-pruning by NEW pid against OLD-layout files drops and duplicates
+    # buckets)
+    fps = _tier_fingerprints(input_fingerprint, tier_names, num_partitions,
+                             gap_fill)
     committed = {}
-    prev = "raw"
     for name in tier_names:
-        # semantics-affecting params are part of the fingerprint so
-        # checkpoints self-invalidate when they change: gap_fill toggles the
-        # sparse/dense layout, and num_partitions changes row->partition
-        # placement (a resume or ingest under a different P would otherwise
-        # silently mix layouts — skip-pruning by NEW pid against OLD-layout
-        # files drops and duplicates buckets)
-        fps[name] = f"{input_fingerprint}|P{num_partitions}|{prev}->{name}" + (
-            "|gapfill" if gap_fill else "")
-        if resume:
+        if resume and _increment_pids is not None:
+            # incremental recompute: the dataset covers ONLY the increment's
+            # partitions, so purging a fingerprint-mismatched partition
+            # outside the increment would delete data the recompute never
+            # rewrites (silent permanent loss after expire -> ingest).
+            # Trust-or-raise instead of purge:
+            committed[name] = _committed_outside_increment(
+                out_dir, name, fps[name], num_partitions, _increment_pids)
+        elif resume:
             # purge STALE partitions (manifest fingerprint from other
             # params/inputs, or pid outside the current layout): their data
             # files would otherwise sit beside the new layout and be
             # double-read by the glob-based tier readers
             mf.purge_stale_partitions(out_dir, name, fps[name],
                                       num_partitions)
-        committed[name] = mf.committed_partitions(out_dir, name, fps[name]) if resume else set()
-        prev = name
+            committed[name] = mf.committed_partitions(out_dir, name, fps[name])
+        else:
+            committed[name] = set()
 
     if resume and all(len(committed[n]) >= num_partitions for n in tier_names):
         # every (tier, partition) already committed for this fingerprint:
@@ -492,10 +541,27 @@ def ingest_increment_partitioned(
     those directories are read back and re-rolled — file-level pruning, so
     ingest cost scales with the touched partitions, not the corpus.  Same
     bit-equality contract as ``ingest_increment`` (recompute from raw).
-    ``num_partitions`` must match the raw layout's."""
+    ``num_partitions`` must match the raw layout's.
+
+    Interaction with ``expire_tiers``: raw is the source of truth, so the
+    AFFECTED partitions are recomputed in full — any rows a prior expiry
+    removed from them come back; re-apply the expiry after ingesting.
+    Partitions OUTSIDE the increment keep their (possibly expired) content
+    untouched: their ``|expire@``-suffixed fingerprints are treated as valid
+    resume state, never purged (purging them would be permanent data loss —
+    this path's recompute only covers the affected ``__part__=`` dirs).  A
+    fingerprint mismatch outside the increment that is NOT an expiry suffix
+    raises instead of purging."""
     from pytimetk_ray.exec import PART_COL, _add_part_arrow
 
     pids = affected_partitions(new_ds, key=key, num_partitions=num_partitions)
+    tier_names = [TIER_NAMES.get(f, f) for f in tiers]
+    # compatibility pre-check BEFORE mutating the raw store or manifests: a
+    # store written under different params must fail loudly here, not after
+    # the increment was appended
+    for name, fp in _tier_fingerprints(
+            input_fingerprint, tier_names, num_partitions, gap_fill).items():
+        _committed_outside_increment(out_dir, name, fp, num_partitions, pids)
     tagged = new_ds.map_batches(
         _add_part_arrow, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
@@ -503,7 +569,6 @@ def ingest_increment_partitioned(
     )
     tagged.write_parquet(raw_dir, partition_cols=[PART_COL])
 
-    tier_names = [TIER_NAMES.get(f, f) for f in tiers]
     mf.invalidate_partitions(out_dir, tier_names, pids)
     affected = read_partitioned_raw(
         raw_dir, pids=pids, columns=[key, date_column, value_column])
@@ -511,7 +576,7 @@ def ingest_increment_partitioned(
         affected, out_dir=out_dir, key=key, date_column=date_column,
         value_column=value_column, tiers=tiers,
         num_partitions=num_partitions, input_fingerprint=input_fingerprint,
-        resume=True, gap_fill=gap_fill,
+        resume=True, gap_fill=gap_fill, _increment_pids=pids,
     )
 
 

@@ -75,6 +75,27 @@ def committed_partitions(out_dir: str, tier: str, input_fingerprint: str | None 
     return done
 
 
+def partition_fingerprints(out_dir: str, tier: str) -> dict[int, str]:
+    """{pid: input_fingerprint} of every committed manifest in a tier
+    (torn/uncommitted manifests are skipped, same as committed_partitions)."""
+    d = _manifest_dir(out_dir, tier)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[int, str] = {}
+    for name in os.listdir(d):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if m.get("status") != "committed":
+            continue
+        out[int(m["partition_id"])] = m.get("input_fingerprint", "")
+    return out
+
+
 def invalidate_partitions(out_dir: str, tiers: Iterable[str],
                           pids: Iterable[int]) -> int:
     """Drop the manifests of the given (tier, partition) pairs so a resumed

@@ -89,6 +89,24 @@ def main() -> None:
             raise SystemExit(
                 "--ingest is inherently a resume operation (untouched "
                 "partitions must be reused); drop --no-resume")
+        # raw is the source of truth: recomputed partitions come back
+        # UNEXPIRED.  Detect a previously-expired store and make the operator
+        # re-apply the retention policy (conveniently, --expire in the same
+        # run executes AFTER the ingest below).
+        from pytimetk_ray.state.manifest import partition_fingerprints
+
+        expired_tiers = [
+            n for n in (TIER_NAMES.get(f, f) for f in tiers)
+            if any("|expire@" in v
+                   for v in partition_fingerprints(args.out, n).values())
+        ]
+        if expired_tiers and not args.expire:
+            print(
+                f"WARNING: tiers {expired_tiers} carry |expire@ manifests; "
+                "--ingest recomputes touched partitions FROM RAW, undoing "
+                "their expiry. Pass --expire tier=cutoff,... in this run "
+                "(applied after the ingest) to re-apply the retention policy.",
+                file=sys.stderr)
         new_ds = rd.read_parquet(
             args.ingest, columns=[args.key, args.date_column, args.value_column])
         res = ingest_increment(

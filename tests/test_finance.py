@@ -160,6 +160,34 @@ def test_qsmomentum_ewmavol_fip_hurst_risk(ds, px):
     out = sorted_out(fin.augment_fip_momentum(ds, ["symbol"], ["date"], "close", window=30))
     assert out["close_fip_momentum_30"].abs().max() <= 1.0 + 1e-9
 
+    # zero price -> -100% then +inf return: pandas rolling coerces inf->NaN
+    # internally, so the reference's rolling.apply NaNs every window that
+    # contains the inf return — pin exact parity against rolling.apply itself
+    n, w = 40, 10
+    close = np.linspace(100.0, 120.0, n)
+    close[15] = 0.0
+    zdf = pd.DataFrame({
+        "symbol": "ZZZ",
+        "date": pd.date_range("2022-01-03", periods=n, freq="B").astype("datetime64[us]"),
+        "close": close,
+    })
+    zout = sorted_out(fin.augment_fip_momentum(
+        rd.from_pandas(zdf), ["symbol"], ["date"], "close", window=w))
+    r = zdf["close"].pct_change()
+
+    def _fip(s):
+        with np.errstate(all="ignore"):
+            total = np.prod(1.0 + s) - 1.0
+            return np.sign(total) * ((s < 0).sum() / w - (s > 0).sum() / w)
+
+    exp_fip = r.rolling(w).apply(_fip, raw=True)
+    np.testing.assert_allclose(zout[f"close_fip_momentum_{w}"], exp_fip,
+                               rtol=1e-12, equal_nan=True)
+    # windows past the inf return are finite again
+    assert np.isfinite(zout[f"close_fip_momentum_{w}"].iloc[-1])
+    # windows containing the inf return are NaN (pandas inf coercion)
+    assert np.isnan(zout[f"close_fip_momentum_{w}"].iloc[20])
+
     out = sorted_out(fin.augment_hurst_exponent(ds, ["symbol"], ["date"], "close", window=50))
     h = out["close_hurst_50"].dropna()
     assert len(h) and (h > 0).all() and (h < 1.2).all()

@@ -231,6 +231,97 @@ def test_ingest_crash_between_invalidate_and_recompute(corpus, tmp_path):
                 b[col].to_numpy(np.float64).view(np.uint64), err_msg=col)
 
 
+def test_expire_then_partitioned_ingest_preserves_unaffected(corpus, tmp_path):
+    # regression: expire suffixes every partition's fingerprint; a later
+    # partitioned ingest recomputes ONLY the affected __part__ dirs, so the
+    # resume purge must NOT delete fingerprint-mismatched partitions outside
+    # the increment (they would never be recomputed -> permanent data loss)
+    from pytimetk_ray.pipelines.tiers import (
+        ingest_increment_partitioned,
+        read_partitioned_raw,
+        write_partitioned_raw,
+    )
+
+    # conversation-scoped increment so only a few partitions are touched
+    convs = sorted(corpus["conv_id"].unique())[:3]
+    cut = corpus["ts"].quantile(0.7)
+    inc_mask = corpus["conv_id"].isin(convs) & (corpus["ts"] >= cut)
+    base, inc = corpus[~inc_mask], corpus[inc_mask]
+    assert len(inc) > 0
+    raw_dir = str(tmp_path / "raw")
+    d = str(tmp_path / "tiers")
+    write_partitioned_raw(rd.from_pandas(base), raw_dir, key="conv_id",
+                          num_partitions=P)
+    src = read_partitioned_raw(raw_dir, columns=["conv_id", "ts", "value"])
+    rollup_tiers(src, out_dir=d, key="conv_id", date_column="ts",
+                 value_column="value", tiers=TIERS, num_partitions=P,
+                 input_fingerprint="v1")
+    all_1m = _read_all(d, "1m")
+    cutoff = pd.Timestamp(all_1m["bucket_ts"].quantile(0.3)).ceil("1min")
+    expire_tiers(d, {"1m": cutoff})
+    expired_by_pid = {pid: pd.read_parquet(mf.partition_path(d, "1m", pid))
+                      for pid in range(P)}
+
+    touched = affected_partitions(rd.from_pandas(inc), key="conv_id",
+                                  num_partitions=P)
+    assert touched != set(range(P)), "fixture must leave untouched partitions"
+    ingest_increment_partitioned(
+        raw_dir, rd.from_pandas(inc), out_dir=d, key="conv_id",
+        date_column="ts", value_column="value", tiers=TIERS,
+        num_partitions=P, input_fingerprint="v1")
+
+    # every partition file still exists — nothing was purged
+    for pid in range(P):
+        assert os.path.exists(mf.partition_path(d, "1m", pid)), pid
+    # untouched partitions keep their EXPIRED content byte-for-byte
+    for pid in set(range(P)) - touched:
+        got = pd.read_parquet(mf.partition_path(d, "1m", pid))
+        pd.testing.assert_frame_equal(got, expired_by_pid[pid])
+    # affected partitions were recomputed from raw (expiry undone there —
+    # documented: raw is the source of truth, re-apply expiry after ingest)
+    full_dir = str(tmp_path / "full")
+    _rollup(corpus, full_dir, "v1")
+    for pid in touched:
+        # order among groups within a partition is unspecified -> sort
+        a = pd.read_parquet(mf.partition_path(full_dir, "1m", pid)).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        b = pd.read_parquet(mf.partition_path(d, "1m", pid)).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+    # a second expiry restores the uniform retention state
+    expire_tiers(d, {"1m": cutoff})
+    kept = _read_all(d, "1m")
+    assert (kept["bucket_ts"] >= cutoff).all()
+
+
+def test_partitioned_ingest_raises_on_incompatible_store(corpus, tmp_path):
+    # a fingerprint mismatch outside the increment that is NOT an expiry
+    # (e.g. the store was built under a different input fingerprint) must
+    # raise, not purge
+    from pytimetk_ray.pipelines.tiers import (
+        ingest_increment_partitioned,
+        read_partitioned_raw,
+        write_partitioned_raw,
+    )
+
+    convs = sorted(corpus["conv_id"].unique())[:3]
+    inc_mask = corpus["conv_id"].isin(convs) & (corpus["ts"] >= corpus["ts"].quantile(0.7))
+    base, inc = corpus[~inc_mask], corpus[inc_mask]
+    raw_dir = str(tmp_path / "raw")
+    d = str(tmp_path / "tiers")
+    write_partitioned_raw(rd.from_pandas(base), raw_dir, key="conv_id",
+                          num_partitions=P)
+    src = read_partitioned_raw(raw_dir, columns=["conv_id", "ts", "value"])
+    rollup_tiers(src, out_dir=d, key="conv_id", date_column="ts",
+                 value_column="value", tiers=TIERS, num_partitions=P,
+                 input_fingerprint="OTHER")
+    with pytest.raises(ValueError, match="different params"):
+        ingest_increment_partitioned(
+            raw_dir, rd.from_pandas(inc), out_dir=d, key="conv_id",
+            date_column="ts", value_column="value", tiers=TIERS,
+            num_partitions=P, input_fingerprint="v1")
+
+
 def test_expired_store_does_not_resume_as_committed(corpus, tmp_path):
     d = str(tmp_path / "t")
     _rollup(corpus, d, "v1")
