@@ -89,8 +89,14 @@ def entry() -> Any:
 
     sf_dir = "/root/testdata/sf0.001"
     out = os.path.join(tempfile.mkdtemp(prefix="tiers_entry_"), "tiers")
-    ds = _events(sf_dir).map_batches(
-        lambda b: b.rename(columns={"user_id": "conv_id"}), batch_format="pandas"
+    # pruned read (only the 3 cascade columns leave storage) + Arrow-native
+    # rename — text/props never enter the pipeline (mirrors bench.py)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, _EV), columns=["user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["conv_id" if c == "user_id" else c for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     rollup_tiers(
         ds,
@@ -560,8 +566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=0, round_digits=6)
 
     def embedding_neardup_lsh(sf_dir):
-        # bucketed scale path; rows-only
-        return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2, nbits=4, round_digits=6)
+        # banded scale path (2 tables x 2 hyperplane bits); oracle joins on
+        # "any band's bucket matches" with the same inlined planes
+        return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2,
+                                       nbits=2, bands=2, round_digits=6)
 
     def multimodal_decode(sf_dir):
         # rows-only: binary media columns through the actor-pool decode stage
@@ -1607,12 +1615,20 @@ def oracle_sql() -> dict[str, str]:
 
     _a, _b = _mp(64, 1)
     _perm_vals = ",".join(f"({i},{int(_a[i])},{int(_b[i])})" for i in range(64))
+    # 4 hyperplanes split into 2 bands of 2 bits (pipeline: nbits=2, bands=2
+    # over default_rng(5).normal((4, 64)) — band b uses planes[2b:2b+2]).
+    # NOTE: the pipeline normalizes vectors before the sign test; normalizing
+    # doesn't change the sign of a dot product, so raw `e` works here.
     _planes = np.random.default_rng(5).normal(size=(4, 64))
-    _lsh_bucket_expr = " + ".join(
-        "{m}*(CASE WHEN list_dot_product(e, [{p}]) > 0 THEN 1 ELSE 0 END)".format(
-            m=1 << i, p=",".join(repr(float(x)) for x in _planes[i]))
-        for i in range(4)
-    )
+
+    def _band_expr(b):
+        return " + ".join(
+            "{m}*(CASE WHEN list_dot_product(e, [{p}]) > 0 THEN 1 ELSE 0 END)".format(
+                m=1 << i, p=",".join(repr(float(x)) for x in _planes[2 * b + i]))
+            for i in range(2)
+        )
+
+    _lsh_b0, _lsh_b1 = _band_expr(0), _band_expr(1)
     return {
         "summarize_by_time_hour": """
             SELECT user_id,
@@ -2255,14 +2271,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             ),
             buck AS (
-                SELECT vec_id, e, __BUCKET__ AS bucket FROM emb
+                SELECT vec_id, e, __B0__ AS b0, __B1__ AS b1 FROM emb
             )
+            -- banded LSH: a candidate pair shares ANY band's exact bucket
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
             FROM buck a JOIN buck b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.2
-        """.replace("__BUCKET__", _lsh_bucket_expr),
+        """.replace("__B0__", _lsh_b0).replace("__B1__", _lsh_b1),
 
         "doc_langid": r"""
             WITH w AS (

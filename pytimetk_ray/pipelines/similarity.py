@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from pytimetk_ray.exec import partitioned_group_map
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
@@ -146,21 +148,20 @@ def ann_bruteforce(
 
 
 class _BucketTagger:
-    """Actor: random-hyperplane LSH bucket id per row (scale path)."""
+    """Actor: random-hyperplane LSH bucket id per row (zero-copy Arrow)."""
 
     def __init__(self, planes_ref, vec_column: str):
         self.planes = planes_ref if isinstance(planes_ref, np.ndarray) else ray.get(planes_ref)
         self.vec_column = vec_column
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _to_matrix(batch[self.vec_column])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _arrow_matrix(batch[self.vec_column])
         signs = (m @ self.planes.T) > 0  # (B, nbits)
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for bit in range(signs.shape[1]):
-            bucket |= signs[:, bit].astype(np.int64) << bit
-        batch = batch.copy()
-        batch["bucket"] = bucket
-        return batch
+        bucket = (signs.astype(np.int64)
+                  * (np.int64(1) << np.arange(signs.shape[1]))).sum(axis=1)
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column("bucket", pa.array(bucket))
 
 
 def lsh_bucket(ds: rd.Dataset, *, dim: int, nbits: int = 8, seed: int = 5,
@@ -172,8 +173,9 @@ def lsh_bucket(ds: rd.Dataset, *, dim: int, nbits: int = 8, seed: int = 5,
     return ds.map_batches(
         _BucketTagger,
         fn_constructor_kwargs=dict(planes_ref=pref, vec_column=vec_column),
-        batch_format="pandas",
-        batch_size=4096,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
         concurrency=concurrency,
     )
 
@@ -183,35 +185,146 @@ def embedding_neardup_pairs(
     *,
     dim: int,
     threshold: float = 0.95,
-    nbits: int = 6,
+    nbits: int = 4,
+    bands: int = 4,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
     round_digits: int = 12,
+    seed: int = 5,
+    num_partitions: int = 32,
+    max_bucket: int = 100_000,
 ) -> rd.Dataset:
-    """Near-duplicate pairs (cosine >= threshold) within LSH buckets.
+    """Near-duplicate pairs (cosine >= threshold) via BANDED hyperplane LSH
+    (``bands`` independent tables of ``nbits`` hyperplane sign bits each —
+    the simhash_pairs banding shape, dedup.py simhash template).
 
-    Output: (id_a, id_b, cosine) with id_a < id_b.  Bucketing bounds the
-    pairwise cost; near-identical vectors collide with high probability."""
-    tagged = lsh_bucket(ds, dim=dim, nbits=nbits, vec_column=vec_column)
+    A pair is a candidate when it shares ANY band's exact bucket — recall
+    P(hit) = 1-(1-p^nbits)^bands where p = 1 - angle/pi, so many small-bucket
+    tables replace one coarse table: expected bucket population is n/2^nbits
+    PER BAND, and pair cost stays O(bands * sum(bucket^2)) with buckets that
+    shrink as nbits grows, instead of the O(n^2/2^nbits) blowup of a single
+    fixed table.  ``nbits=0`` degenerates to one global bucket = exact
+    all-pairs (the SQL-checkable path).
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_column, kind="mergesort")
-        m = _normalize(_to_matrix(g[vec_column]))
-        ids = g[id_column].to_numpy()
-        sims = m @ m.T
-        iu = np.triu_indices(len(g), k=1)
-        mask = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cosine": np.round(sims[iu][mask], round_digits),
+    Execution: one Arrow map_batches computes every band key per row (one
+    matmul against the broadcast planes), emits SHORT band rows
+    (band_id, band_key, id, normalized-vector blob); candidate pairs are
+    produced inside ``exec.partitioned_group_map`` (hash partition, NOT the
+    Ray sort shuffle) with segment-vectorized chunked matmuls, thresholded
+    in-task, then cross-band-deduped by a second short-row partition map.
+    ``max_bucket`` caps any one bucket's membership (ids ascending,
+    deterministic truncation) so a degenerate bucket — all-identical vectors
+    hash together regardless of table count — cannot produce an O(n^2) task;
+    capped buckets trade recall for boundedness and the cap is recorded in
+    the docblock contract, not silently absorbed.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b."""
+    if nbits <= 0:
+        nbits, bands = 0, 1
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(max(bands * nbits, 1), dim))
+    pref = ray.put(planes)
+
+    class _BandTagger:
+        """Actor: per-row (band_id, band_key) for every band + the normalized
+        vector as a fixed-width float64 blob (keeps the shuffle rows flat)."""
+
+        def __init__(self):
+            self.planes = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+
+        def __call__(self, batch: pa.Table) -> dict:
+            if len(batch) == 0:
+                return {id_column: np.array([], dtype=np.int64),
+                        "band_id": np.array([], dtype=np.int64),
+                        "band_key": np.array([], dtype=np.int64),
+                        "vec": np.array([], dtype=object)}
+            m = _normalize(_arrow_matrix(batch[vec_column]))
+            n = len(m)
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            if nbits == 0:
+                keys = np.zeros(n, dtype=np.int64)[None, :]
+            else:
+                signs = (m @ self.planes.T) > 0  # (n, bands*nbits)
+                w = np.int64(1) << np.arange(nbits)
+                keys = np.stack([
+                    (signs[:, b * nbits:(b + 1) * nbits].astype(np.int64) * w).sum(axis=1)
+                    for b in range(bands)
+                ])  # (bands, n)
+            blobs = [m[i].tobytes() for i in range(n)]
+            return {
+                id_column: np.tile(ids, bands),
+                "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
+                "band_key": keys.reshape(-1),
+                "vec": np.array(blobs * bands, dtype=object),
             }
-        )
 
-    return tagged.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    band_rows = ds.map_batches(
+        _BandTagger, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True, concurrency=2,
+    )
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64),
+                              "cosine": np.array([], dtype=np.float64)})
+        if len(part) == 0:
+            return empty
+        bid = part["band_id"].to_numpy()
+        bk = part["band_key"].to_numpy()
+        ids = part[id_column].to_numpy()
+        blobs = part["vec"].to_numpy()
+        change = np.empty(len(part), dtype=bool)
+        change[0] = True
+        np.logical_or(bid[1:] != bid[:-1], bk[1:] != bk[:-1], out=change[1:])
+        bounds = np.append(np.flatnonzero(change), len(part))
+        ra, rb, rc = [], [], []
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]
+            keep = np.r_[True, seg_ids[1:] != seg_ids[:-1]]  # ids are sorted
+            seg_ids = seg_ids[keep]
+            seg_blobs = blobs[lo:hi][keep]
+            n = len(seg_ids)
+            if n < 2:
+                continue
+            if n > max_bucket:  # deterministic cap (ids ascending)
+                n = max_bucket
+                seg_ids, seg_blobs = seg_ids[:n], seg_blobs[:n]
+            m = np.frombuffer(b"".join(seg_blobs), dtype=np.float64).reshape(n, -1)
+            # chunked upper-triangle matmul: block x n, never n x n
+            block = max(1, 4_000_000 // n)
+            col = np.arange(n)
+            for a in range(0, n - 1, block):
+                b = min(a + block, n - 1)
+                sims = m[a:b] @ m.T  # (b-a, n)
+                rr, cc = np.nonzero(
+                    (sims >= threshold) & (col[None, :] > (a + np.arange(b - a))[:, None]))
+                if len(rr):
+                    ra.append(seg_ids[a + rr])
+                    rb.append(seg_ids[cc])
+                    rc.append(np.round(sims[rr, cc], round_digits))
+        if not ra:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(ra),
+                             "id_b": np.concatenate(rb),
+                             "cosine": np.concatenate(rc)})
+
+    pairs = partitioned_group_map(
+        band_rows, ["band_id", "band_key"], bucket_pairs,
+        sort_by=["band_id", "band_key", id_column],
+        num_partitions=num_partitions,
+    )
+    if bands == 1:
+        return pairs
+    # cross-band dedup: (id_a)-keyed partition, vectorized drop_duplicates
+    # (duplicate rows are identical across bands — same normalized dot)
+    return partitioned_group_map(
+        pairs, ["id_a"],
+        lambda p: p.drop_duplicates(["id_a", "id_b"]),
+        sort_by=["id_a", "id_b"], num_partitions=num_partitions,
+    )
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------
@@ -291,17 +404,31 @@ def ann_ivf(
     exclude_self: bool = True,
     round_digits: int = 12,
     seed: int = 17,
+    train_mode: str = "random",
 ) -> rd.Dataset:
     """Approximate cosine top-k via an IVF coarse quantizer.
 
-    Train: k-means centroids from a driver-side sample (at 100 TB: a
-    ``ds.random_sample`` pass — centroids are tiny and broadcast).  Search:
-    each batch row is assigned to its nearest centroid in the actor
-    (vectorized matmul) and scored ONLY against queries probing that
-    cluster — compute drops by ~nlist/nprobe at a small recall cost.
+    Train: k-means centroids from a seed-pinned RANDOM sample of the corpus
+    (``ds.random_sample`` — a first-N ``limit`` would bias the centroids
+    toward whatever storage order encodes, silently degrading recall on any
+    clustered layout; ``train_mode="head"`` keeps the biased variant only
+    for A/B tests).  Centroids are tiny and broadcast.  Search: each batch
+    row is assigned to its nearest centroid in the actor (vectorized matmul)
+    and scored ONLY against queries probing that cluster — compute drops by
+    ~nlist/nprobe at a small recall cost.
     Same (query_id, id, cosine) output contract as ``ann_bruteforce``.
     """
-    sample = ds.limit(train_sample).to_pandas()
+    if train_mode == "head":
+        sample = ds.limit(train_sample).to_pandas()
+    else:
+        n_total = ds.count()
+        if n_total <= train_sample:
+            sample = ds.to_pandas()
+        else:
+            # oversample 1.25x (random_sample is binomial), then cap
+            frac = min(1.0, 1.25 * train_sample / n_total)
+            sample = (ds.random_sample(frac, seed=seed)
+                      .limit(train_sample).to_pandas())
     x = _to_matrix(sample[vec_column])
     centroids = _kmeans(x, nlist, seed=seed)
 

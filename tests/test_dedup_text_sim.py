@@ -225,6 +225,92 @@ def test_exact_dedup_rows(docs_df):
         assert i in set(out["doc_id"]) and (i + 1_000_000) not in set(out["doc_id"])
 
 
+def test_embedding_neardup_pathological_bucket_capped():
+    # all-identical vectors hash into ONE bucket in EVERY band regardless of
+    # table count; max_bucket must bound the task (deterministic id-ascending
+    # truncation) instead of an O(n^2) blowup
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    n_dup = 50
+    vecs = [base.copy() for _ in range(n_dup)] + [rng.normal(size=64) for _ in range(20)]
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": [v.astype(np.float64) for v in vecs]})
+    pairs = embedding_neardup_pairs(
+        rd.from_pandas(df), dim=64, threshold=0.999, nbits=2, bands=2,
+        max_bucket=10, num_partitions=4,
+    ).to_pandas()
+    # only the first 10 duplicate ids survive the cap -> C(10,2) pairs,
+    # identical across both bands (deduped once)
+    in_cap = set(zip(pairs["id_a"], pairs["id_b"]))
+    expect = {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert expect == {p for p in in_cap if p[0] < n_dup and p[1] < n_dup}
+    assert len(pairs) == len(expect)
+
+
+def test_embedding_neardup_banded_matches_exact_within_buckets():
+    # banded candidates must be a SUBSET of exact all-pairs, and every
+    # candidate's cosine must equal the exact computation
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_neardup_pairs(
+        rd.from_pandas(emb), dim=64, threshold=0.2, nbits=0, round_digits=6,
+    ).to_pandas()
+    banded = embedding_neardup_pairs(
+        rd.from_pandas(emb), dim=64, threshold=0.2, nbits=2, bands=2,
+        round_digits=6,
+    ).to_pandas()
+    ex = {(a, b): c for a, b, c in zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+    assert len(banded) <= len(exact)
+    assert len(banded) > 0
+    for a, b, c in zip(banded["id_a"], banded["id_b"], banded["cosine"]):
+        assert (a, b) in ex and ex[(a, b)] == c
+
+
+def test_ann_ivf_random_sample_covers_skewed_storage_order():
+    # storage-order-clustered corpus: the first train_sample rows are ALL
+    # cluster A, so head-trained centroids never see cluster B.  The bias
+    # shows up as CENTROID COVERAGE: under head training every B vector is
+    # far from every centroid (one centroid silently swallows half the
+    # corpus — brute-force-sized probe lists at scale), while a random
+    # sample places centroids in both clusters.
+    from pytimetk_ray.pipelines.similarity import _kmeans, _normalize, ann_ivf
+
+    rng = np.random.default_rng(11)
+    d, na, nb = 32, 600, 600
+    ca = rng.normal(size=d)
+    cb = -ca + 0.1 * rng.normal(size=d)  # far-apart cluster centers
+    A = ca + 0.05 * rng.normal(size=(na, d))
+    B = cb + 0.05 * rng.normal(size=(nb, d))
+    mat = np.vstack([A, B]).astype(np.float64)  # A first: storage-ordered
+
+    c_head = _kmeans(mat[:na], 8, seed=17)  # what ds.limit(na) trains on
+    idx = np.sort(rng.choice(len(mat), size=na, replace=False))
+    c_rand = _kmeans(mat[idx], 8, seed=17)
+    xn = _normalize(mat)
+    cov_head = (xn @ c_head.T).max(axis=1)  # best-centroid cosine per row
+    cov_rand = (xn @ c_rand.T).max(axis=1)
+    # head-trained leaves cluster B essentially uncovered
+    assert cov_rand.min() > cov_head.min() + 0.5, (cov_rand.min(), cov_head.min())
+    # ...and the random-trained assignment is balanced, not one mega-cluster
+    share_head = np.bincount(np.argmax(xn @ c_head.T, axis=1), minlength=8).max() / len(mat)
+    share_rand = np.bincount(np.argmax(xn @ c_rand.T, axis=1), minlength=8).max() / len(mat)
+    assert share_rand < share_head, (share_rand, share_head)
+    assert share_head >= 0.45  # one centroid swallowed all of B
+
+    # end-to-end: the pipeline's random-sample path keeps high recall on
+    # queries from the storage-tail cluster
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": list(mat)})
+    q, qids = mat[na:na + 6], np.arange(na, na + 6, dtype=np.int64)
+    exact = ann_bruteforce(rd.from_pandas(df), q, qids, k=10).to_pandas()
+    got = ann_ivf(rd.from_pandas(df), q, qids, k=10, nlist=8, nprobe=4,
+                  train_sample=na).to_pandas()
+    hits = 0.0
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        hits += len(e & set(got[got["query_id"] == qi]["vec_id"])) / max(1, len(e))
+    assert hits / len(qids) >= 0.9, hits / len(qids)
+
+
 def test_ann_ivf_recall_vs_bruteforce():
     from pytimetk_ray.pipelines.similarity import ann_ivf
 
