@@ -6,10 +6,14 @@ quantile bins, categorical -> one-hot with infrequent-category lumping) and
 sorted by |corr| descending).
 
 Execution shape:
-- binarize needs GLOBAL quantiles -> one small aggregate pass first
-  (per-column quantiles via a driver-side collect of per-batch T-digest-less
-  exact quantiles — the input here is a FEATURE table, small by construction;
-  at 100 TB substitute a sketch), then a stateless vectorized map_batches.
+- binarize needs GLOBAL quantile edges + level frequencies -> ONE
+  distributed pre-pass: per-batch partial (column, value) count histograms
+  (one row per DISTINCT value per batch — the corpus.py combiner idiom) ->
+  keyed partition reduce -> tiny merged histogram on the driver, from which
+  EXACT np.nanquantile edges are derived by weighted order statistics.  No
+  full-table collect anywhere; the driver sees only distinct-value counts.
+  (A truly continuous high-cardinality column makes the histogram large —
+  there, swap the partial for a mergeable t-digest; the reduce shape stays.)
 - correlate = one global aggregation of sums/sumsq/cross-products per column
   (map_batches partials -> tiny reduce), then the correlation formula on the
   driver.  No shuffle of data rows at all.
@@ -21,6 +25,32 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
+
+from pytimetk_ray.exec import partitioned_group_map
+
+
+def _weighted_np_quantiles(vals: np.ndarray, cnts: np.ndarray,
+                           qs: np.ndarray) -> np.ndarray:
+    """np.nanquantile(method='linear') from a (sorted distinct value, count)
+    histogram — BIT-EQUAL to numpy on the expanded array: same virtual index
+    t = q*(N-1), same order statistics, and numpy's lerp formula switch at
+    frac >= 0.5 (lo + d*frac below, hi - d*(1-frac) at/above)."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    if n == 0:
+        return np.array([], dtype=np.float64)
+    cum = np.cumsum(cnts)  # rank of the LAST occurrence of each value (1-based)
+    out = np.empty(len(qs), dtype=np.float64)
+    for k, q in enumerate(qs):
+        t = q * (n - 1)
+        i = int(np.floor(t))
+        frac = t - i
+        lo = vals[np.searchsorted(cum, i, side="right")]
+        hi = vals[np.searchsorted(cum, min(i + 1, n - 1), side="right")]
+        d = hi - lo
+        out[k] = lo + d * frac if frac < 0.5 else hi - d * (1 - frac)
+    return out
 
 
 def binarize(
@@ -55,18 +85,48 @@ def binarize(
     num_cols = [n for n, t in zip(schema.names, schema.types) if _is_num(t)]
     cat_cols = [n for n, t in zip(schema.names, schema.types) if _is_str(t)]
 
-    # global quantile pass (small driver-side collect of the numeric columns)
+    # DISTRIBUTED pre-pass: per-batch partial (col, value) histograms ->
+    # keyed reduce -> driver sees one row per global distinct value
     qs = np.linspace(0, 1, n_bins + 1)
-    sample = ds.select_columns(num_cols).to_pandas() if num_cols else pd.DataFrame()
-    edges = {c: np.unique(np.nanquantile(sample[c].to_numpy(float), qs)) for c in num_cols}
-    # categorical level frequencies
-    freqs = {}
-    if cat_cols:
-        catdf = ds.select_columns(cat_cols).to_pandas()
-        n = len(catdf)
+    _ROWS = "__rows__"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"col": [_ROWS], "sval": [""], "nval": [0.0],
+                                "cnt": np.array([len(batch)], dtype=np.int64)})]
+        for c in num_cols:
+            v = batch[c].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            vals, cnts = np.unique(v, return_counts=True)
+            frames.append(pd.DataFrame({
+                "col": c, "sval": "", "nval": vals,
+                "cnt": cnts.astype(np.int64)}))
         for c in cat_cols:
-            vc = catdf[c].value_counts()
-            freqs[c] = set(vc.index[(vc / n) >= thresh_infreq])
+            vc = batch[c].value_counts()  # NaN excluded, like the reference
+            frames.append(pd.DataFrame({
+                "col": c, "sval": vc.index.astype(object), "nval": 0.0,
+                "cnt": vc.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def reduce_counts(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["col", "sval", "nval"], as_index=False,
+                            sort=False)["cnt"].sum()
+
+    merged = partitioned_group_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["col", "sval", "nval"], reduce_counts,
+        sort_by=["col", "sval", "nval"], num_partitions=8,
+    ).to_pandas()
+
+    n = int(merged.loc[merged["col"] == _ROWS, "cnt"].sum())
+    edges, freqs = {}, {}
+    for c in num_cols:
+        h = merged[merged["col"] == c]
+        edges[c] = np.unique(_weighted_np_quantiles(
+            h["nval"].to_numpy(np.float64), h["cnt"].to_numpy(np.int64), qs))
+    for c in cat_cols:
+        h = merged[merged["col"] == c]
+        keep = h.loc[(h["cnt"] / n) >= thresh_infreq, "sval"]
+        freqs[c] = set(keep)
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         out = {}

@@ -130,6 +130,53 @@ def test_binarize_correlate():
             np.testing.assert_allclose(row["correlation"], exp, rtol=1e-9)
 
 
+def test_weighted_quantiles_bit_equal_numpy():
+    # the distributed histogram quantile must reproduce np.nanquantile
+    # bit-for-bit (bin edges decide bin membership at exact equality)
+    from pytimetk_ray.ops.correlationfunnel import _weighted_np_quantiles
+
+    rng = np.random.default_rng(9)
+    qs = np.linspace(0, 1, 5)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        # heavy duplicates to stress the weighted order statistics
+        v = rng.choice(rng.normal(size=max(1, n // 7)), size=n)
+        vals, cnts = np.unique(v, return_counts=True)
+        got = _weighted_np_quantiles(vals, cnts, qs)
+        exp = np.nanquantile(v, qs)
+        np.testing.assert_array_equal(
+            got.view(np.uint64), exp.view(np.uint64), err_msg=f"trial {trial}")
+
+
+def test_binarize_edges_match_full_collect():
+    # distributed pre-pass edges == the old full-collect np.nanquantile path,
+    # including NaN exclusion and categorical frequency thresholds
+    rng = np.random.default_rng(4)
+    n = 1000
+    df = pd.DataFrame({
+        "x": np.where(rng.random(n) < 0.1, np.nan, rng.normal(size=n)),
+        "cat": rng.choice(["a", "b", "c", "d"], size=n, p=[0.5, 0.3, 0.19, 0.01]),
+    })
+    b = binarize(rd.from_pandas(df), n_bins=4, thresh_infreq=0.05).to_pandas()
+    # infrequent level 'd' lumped into -OTHER
+    assert "cat__d" not in b.columns and "cat__-OTHER" in b.columns
+    # bins reproduce pd.cut over np.nanquantile edges on the full frame
+    e = np.unique(np.nanquantile(df["x"].to_numpy(float), np.linspace(0, 1, 5)))
+    cut = pd.cut(df["x"], bins=e, include_lowest=True, duplicates="drop")
+    xcols = sorted(c for c in b.columns if c.startswith("x__"))
+    assert len(xcols) == 4
+    got_binned = b[xcols].to_numpy().argmax(axis=1)
+    got_any = b[xcols].to_numpy().sum(axis=1)
+    exp_codes = cut.cat.codes.to_numpy()
+    mask = exp_codes >= 0
+    # NaN rows one-hot to nothing; valid rows land in the same bin
+    np.testing.assert_array_equal(got_any, (mask).astype(np.int64))
+    sort_key = np.argsort([str(c) for c in cut.cat.categories])
+    remap = np.empty(len(sort_key), dtype=np.int64)
+    remap[sort_key] = np.arange(len(sort_key))
+    np.testing.assert_array_equal(got_binned[mask], remap[exp_codes[mask]])
+
+
 def test_hilbert(tsds, tsdf):
     out = augment_hilbert(tsds, ["g"], ["ts"], "v").to_pandas().sort_values(
         ["g", "ts"], ignore_index=True
