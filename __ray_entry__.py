@@ -347,6 +347,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round_cols(_cast_bucket_us(t), ["value_sum"])
 
+    def tier_ingest_salted_1h(sf_dir):
+        # incremental ingest into a SALTED store (hot-conversation salting
+        # by tier-1 bucket hash): stage-A invalidation hashes the
+        # (conv, salt) chain, stage-B the plain conv chain; result proved
+        # against the SAME full-data SQL oracle
+        from pytimetk_ray.pipelines.tiers import ingest_increment_salted
+
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_is_"), "tiers")
+        split = pd.Timestamp("2024-01-20")
+
+        def _rn(b):
+            return b.rename(columns={"user_id": "conv_id"})
+
+        ev = _events(sf_dir).map_batches(_rn, batch_format="pandas")
+        base = ev.map_batches(lambda b: b[b["ts"] < split], batch_format="pandas")
+        inc = ev.map_batches(lambda b: b[b["ts"] >= split], batch_format="pandas")
+        rollup_tiers(base, out_dir=out, key="conv_id", date_column="ts",
+                     value_column="value", num_partitions=16,
+                     input_fingerprint="qs", tiers=("1min", "1h"), salt=4)
+        ingest_increment_salted(base, inc, out_dir=out, key="conv_id",
+                                date_column="ts", value_column="value",
+                                tiers=("1min", "1h"), num_partitions=16,
+                                input_fingerprint="qs", salt=4)
+        import ray.data as rd2
+
+        t = rd2.read_parquet(os.path.join(out, "tier=1h")).select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count", "value_min", "value_max"]
+        )
+        return _round_cols(_cast_bucket_us(t), ["value_sum"])
+
     def tier_expire_1h(sf_dir):
         # retention expiry: drop 1h buckets before Jan 10; oracle = the
         # rollup SQL with the cutoff predicate
@@ -1178,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
         "tier_ingest_1h": tier_ingest_1h,
+        "tier_ingest_salted_1h": tier_ingest_salted_1h,
         "tier_expire_1h": tier_expire_1h,
         "tier_query_1h": tier_query_1h,
         "tpch_q1": tpch_q1,
@@ -1809,6 +1840,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "tier_ingest_1h": """
+            SELECT user_id AS conv_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6)   AS value_sum,
+                   COUNT(value)           AS value_count,
+                   MIN(value)             AS value_min,
+                   MAX(value)             AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "tier_ingest_salted_1h": """
             SELECT user_id AS conv_id,
                    date_trunc('hour', ts) AS bucket_ts,
                    ROUND(SUM(value), 6)   AS value_sum,

@@ -441,6 +441,79 @@ def affected_partitions(new_ds: rd.Dataset, *, key: str = "conv_id",
     return {int(p) for p in out}
 
 
+def affected_partitions_salted(
+        new_ds: rd.Dataset, *, key: str = "conv_id", date_column: str = "ts",
+        salt: int, tier0: str = TIER_FREQS[0],
+        num_partitions: int = DEFAULT_NUM_PARTITIONS) -> set[int]:
+    """Stage-A partition ids of an increment in a SALTED store: the salted
+    shuffle keys on (conv_id, hash(tier-1 bucket) % salt), so invalidation
+    must hash the SAME (conv, salt-value) chain — keep in sync with
+    _rollup_salted.add_salt and exec._add_part_arrow (h = H(conv)*1000003 +
+    H(salt), mod P)."""
+    from pytimetk_ray.freq import floor_i64
+
+    def pids(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = batch[date_column].to_numpy()
+        unit = _np_unit(arr)
+        b = floor_i64(arr.astype(np.int64), unit, tier0)
+        sv = (pd.util.hash_array(b) % np.uint64(salt)).astype(np.int64)
+        h = (pd.util.hash_array(np.asarray(batch[key])) * np.uint64(1000003)
+             + pd.util.hash_array(sv))
+        return pd.DataFrame({"__part__": np.unique(
+            (h % np.uint64(num_partitions)).astype(np.int64))})
+
+    out = new_ds.map_batches(pids, batch_format="pandas").unique("__part__")
+    return {int(p) for p in out}
+
+
+def ingest_increment_salted(
+    base_ds: rd.Dataset,
+    new_ds: rd.Dataset,
+    *,
+    out_dir: str,
+    key: str = "conv_id",
+    date_column: str = "ts",
+    value_column: str = "value",
+    tiers: Sequence[str] = TIER_FREQS,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    input_fingerprint: str = "",
+    salt: int,
+    gap_fill: bool = False,
+) -> dict[str, pd.DataFrame]:
+    """Incremental ingest into a SALTED tier store (rollup_tiers(salt=S)):
+
+    - stage A (raw -> tier 1, partitioned by (conv, bucket-hash salt)) is
+      invalidated by ``affected_partitions_salted`` — the increment's
+      (conv, salt-value) pairs, NOT plain conv hashing;
+    - stage B (tier 1 -> upper tiers, regathered by conv alone) is
+      invalidated by the plain-conv ``affected_partitions`` chain;
+    - the salted cascade then resumes over base ∪ increment: committed
+      partitions are pruned at the read, invalidated ones recompute from raw
+      in full — the same bit-equality contract as ``ingest_increment``.
+
+    ``input_fingerprint``/``salt``/``num_partitions``/``gap_fill`` must match
+    the base run (they are embedded in the store's fingerprints; a mismatch
+    recomputes everything rather than mixing layouts)."""
+    tier0 = tiers[0]
+    name0 = TIER_NAMES.get(tier0, tier0)
+    stage_a_dir = os.path.join(out_dir, "_presalt") if gap_fill else out_dir
+    pids_a = affected_partitions_salted(
+        new_ds, key=key, date_column=date_column, salt=salt, tier0=tier0,
+        num_partitions=num_partitions)
+    mf.invalidate_partitions(stage_a_dir, [name0], pids_a)
+    pids_b = affected_partitions(new_ds, key=key,
+                                 num_partitions=num_partitions)
+    names_b = [TIER_NAMES.get(f, f)
+               for f in (tiers if gap_fill else tuple(tiers)[1:])]
+    mf.invalidate_partitions(out_dir, names_b, pids_b)
+    return rollup_tiers(
+        base_ds.union(new_ds), out_dir=out_dir, key=key,
+        date_column=date_column, value_column=value_column, tiers=tiers,
+        num_partitions=num_partitions, input_fingerprint=input_fingerprint,
+        resume=True, gap_fill=gap_fill, salt=salt,
+    )
+
+
 def ingest_increment(
     base_ds: rd.Dataset,
     new_ds: rd.Dataset,
@@ -468,9 +541,9 @@ def ingest_increment(
 
     Uses the SAME ``input_fingerprint`` as the base run: the fingerprint
     names the logical tier store; its content advances via the manifest
-    rewrite of the recomputed partitions.  Not supported together with
-    ``salt`` (stage-A salted partitions key on (conv, bucket-hash); expire
-    the salt or recompute fully when ingesting into a salted store)."""
+    rewrite of the recomputed partitions.  For stores built with ``salt=S``
+    use ``ingest_increment_salted`` (stage-A partitions key on
+    (conv, bucket-hash), so invalidation hashes a different chain)."""
     pids = affected_partitions(new_ds, key=key, num_partitions=num_partitions)
     tier_names = [TIER_NAMES.get(f, f) for f in tiers]
     mf.invalidate_partitions(out_dir, tier_names, pids)

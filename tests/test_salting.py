@@ -105,6 +105,61 @@ def test_salted_gap_fill_bit_equal(tmp_path):
     assert gaps["value_min"].isna().all() and gaps["value_max"].isna().all()
 
 
+def test_salted_ingest_bit_equal_and_pruned(tmp_path):
+    """Incremental ingest into a salted store: stage-A invalidation by the
+    (conv, bucket-hash) chain, stage-B by conv; result bit-equal to a full
+    salted recompute; untouched stage-A partitions never rewritten."""
+    from pytimetk_ray.pipelines.tiers import (
+        affected_partitions_salted,
+        ingest_increment_salted,
+    )
+    from pytimetk_ray.state import manifest as mf
+
+    corpus = add_value_column(make_transcripts(40, seed=13, hot_conv_factor=100))
+    # conversation-scoped late increment (few touched partitions)
+    convs = sorted(corpus["conv_id"].unique())[:3]
+    cut = corpus["ts"].quantile(0.8)
+    inc_mask = corpus["conv_id"].isin(convs) & (corpus["ts"] >= cut)
+    base, inc = corpus[~inc_mask], corpus[inc_mask]
+    assert len(inc) > 0
+
+    P, S = 8, 4
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    rollup_tiers(rd.from_pandas(base), out_dir=inc_dir, num_partitions=P,
+                 input_fingerprint="v1", salt=S)
+    pids_a = affected_partitions_salted(
+        rd.from_pandas(inc), salt=S, num_partitions=P)
+    assert 0 < len(pids_a) < P, pids_a
+    before = {pid: os.path.getmtime(mf.partition_path(inc_dir, "1m", pid))
+              for pid in range(P)
+              if os.path.exists(mf.partition_path(inc_dir, "1m", pid))}
+
+    ingest_increment_salted(
+        rd.from_pandas(base), rd.from_pandas(inc), out_dir=inc_dir,
+        num_partitions=P, input_fingerprint="v1", salt=S)
+    rollup_tiers(rd.from_pandas(corpus), out_dir=full_dir, num_partitions=P,
+                 input_fingerprint="v1", salt=S)
+
+    for tier in ("1m", "1h", "1d"):
+        a = read_tier_pandas(full_dir, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        b = read_tier_pandas(inc_dir, tier).sort_values(
+            ["conv_id", "bucket_ts"], ignore_index=True)
+        assert len(a) == len(b), tier
+        np.testing.assert_array_equal(a["conv_id"], b["conv_id"])
+        for col in ("value_sum", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                a[col].to_numpy(np.float64).view(np.uint64),
+                b[col].to_numpy(np.float64).view(np.uint64),
+                err_msg=f"{tier}:{col}")
+        np.testing.assert_array_equal(a["value_count"], b["value_count"])
+
+    # untouched stage-A (1m) partitions were never rewritten
+    for pid in set(before) - pids_a:
+        assert os.path.getmtime(
+            mf.partition_path(inc_dir, "1m", pid)) == before[pid], pid
+
+
 def test_rolling_hot_split_matches_unsplit(tmp_path):
     """split_rows: a hot conversation processed as overlapped contiguous
     ranges produces the same rolling windows as the whole-group path."""
