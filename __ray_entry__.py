@@ -834,15 +834,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=12)
 
     def diag_acf_sql(sf_dir):
-        # ACF-only slice for the SQL oracle (biased estimator; FFT and the
-        # direct lag-sum agree to ~1e-12, rounded to 6)
+        # ACF (biased; FFT and the direct lag-sum agree to ~1e-12) plus the
+        # first two yw-mle PACF lags, which have closed forms in the same
+        # lag sums (pacf1 = s1/s0; pacf2 = (s0*s2 - s1^2)/(s0^2 - s1^2)),
+        # all rounded to 6
         ds = acf_diagnostics(_events(sf_dir), "ts", "value", by=["user_id"], lags=4)
 
         def pick(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[batch["metric"] == "acf"][["user_id", "lag", "value"]]
-            out = out.rename(columns={"value": "acf"})
+            keep = (batch["metric"] == "acf") | (
+                (batch["metric"] == "pacf") & batch["lag"].isin([1, 2]))
+            out = batch[keep][["user_id", "metric", "lag", "value"]].copy()
             out["lag"] = out["lag"].astype(np.int64)
-            out["acf"] = pd.array(np.round(out["acf"].to_numpy(np.float64), 6), dtype="Float64")
+            out["value"] = pd.array(
+                np.round(out["value"].to_numpy(np.float64), 6), dtype="Float64")
             return out
 
         return ds.map_batches(pick, batch_format="pandas")
@@ -2418,12 +2422,17 @@ def oracle_sql() -> dict[str, str]:
                        SUM(xc * xc4) AS s4
                 FROM l GROUP BY user_id
             )
-            SELECT user_id, lag, ROUND(sk / s0, 6) AS acf FROM (
-                SELECT user_id, 0 AS lag, s0 AS sk, s0 FROM s
-                UNION ALL SELECT user_id, 1, s1, s0 FROM s
-                UNION ALL SELECT user_id, 2, s2, s0 FROM s
-                UNION ALL SELECT user_id, 3, s3, s0 FROM s
-                UNION ALL SELECT user_id, 4, s4, s0 FROM s
+            SELECT user_id, metric, lag, ROUND(v, 6) AS value FROM (
+                SELECT user_id, 'acf' AS metric, 0 AS lag, s0 / s0 AS v FROM s
+                UNION ALL SELECT user_id, 'acf', 1, s1 / s0 FROM s
+                UNION ALL SELECT user_id, 'acf', 2, s2 / s0 FROM s
+                UNION ALL SELECT user_id, 'acf', 3, s3 / s0 FROM s
+                UNION ALL SELECT user_id, 'acf', 4, s4 / s0 FROM s
+                -- yw-mle PACF closed forms (biased autocovariances; the
+                -- common 1/n cancels out of both ratios)
+                UNION ALL SELECT user_id, 'pacf', 1, s1 / s0 FROM s
+                UNION ALL SELECT user_id, 'pacf', 2,
+                    (s0 * s2 - s1 * s1) / (s0 * s0 - s1 * s1) FROM s
             )
         """,
         "holiday_signature": """

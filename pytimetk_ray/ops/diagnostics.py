@@ -61,6 +61,34 @@ def pacf_vals(x: np.ndarray, nlags: int) -> np.ndarray:
     return pacf
 
 
+def pacf_ywmle(x: np.ndarray, nlags: int) -> np.ndarray:
+    """PACF via per-lag Yule-Walker 'mle' fits — the reference's method
+    (statsmodels ``pacf(method="ywmle")``, delegated from
+    src/pytimetk/core/acf_diagnostics.py:57-58; public formula): biased
+    autocovariances r_k = sum(xc[:-k]*xc[k:]) / n over the demeaned series,
+    phi = solve(toeplitz(r[:k]), r[1:k+1]), pacf[k] = phi[-1].  Same linear
+    system Durbin-Levinson solves, but via the dense LAPACK solve statsmodels
+    uses — closes the small-sample numerical variance vs the reference."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    xc = x - x.mean()
+    r = np.empty(nlags + 1)
+    r[0] = xc @ xc / n
+    for k in range(1, nlags + 1):
+        r[k] = xc[:-k] @ xc[k:] / n
+    out = np.zeros(nlags + 1)
+    out[0] = 1.0
+    if r[0] == 0 or nlags == 0:
+        return out
+    lagix = np.abs(np.subtract.outer(np.arange(nlags), np.arange(nlags)))
+    for k in range(1, nlags + 1):
+        try:
+            out[k] = np.linalg.solve(r[lagix[:k, :k]], r[1:k + 1])[-1]
+        except np.linalg.LinAlgError:
+            out[k] = np.nan
+    return out
+
+
 def ccf_vals(x: np.ndarray, y: np.ndarray, nlags: int) -> np.ndarray:
     """Cross-correlation of x with lagged y (statsmodels sm_ccf convention)."""
     x = np.asarray(x, float) - np.mean(x)
@@ -80,11 +108,17 @@ def acf_diagnostics(
     by: Sequence[str] = (),
     lags: int = 24,
     ccf_columns: Sequence[str] = (),
+    pacf_method: str = "ywmle",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
-    """Long table: group keys + (metric, lag, value, white_noise_upper/lower)."""
+    """Long table: group keys + (metric, lag, value, white_noise_upper/lower).
+
+    ``pacf_method``: "ywmle" (default — the reference's statsmodels method,
+    per-lag Yule-Walker mle solves) or "dl" (Durbin-Levinson on the biased
+    FFT ACF — same equations, recursive arithmetic)."""
     by = list(by)
     ccf_columns = list(ccf_columns)
+    pacf_fn = pacf_ywmle if pacf_method == "ywmle" else pacf_vals
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -99,7 +133,7 @@ def acf_diagnostics(
             recs = []
             for lag, v in enumerate(acf_vals(x, nl)):
                 recs.append(("acf", lag, v))
-            for lag, v in enumerate(pacf_vals(x, nl)):
+            for lag, v in enumerate(pacf_fn(x, nl)):
                 recs.append(("pacf", lag, v))
             for cc in ccf_columns:
                 for lag, v in enumerate(ccf_vals(x, g[cc].to_numpy(float), nl)):

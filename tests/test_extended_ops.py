@@ -55,6 +55,34 @@ def test_acf_matches_numpy_definition():
     assert p[0] == 1.0 and np.all(np.abs(p[1:]) < 1)
 
 
+def test_pacf_ywmle_solves_yule_walker():
+    # yw-mle PACF (the reference's statsmodels method): per-lag dense solve
+    # of toeplitz(r) phi = r[1:]; Durbin-Levinson solves the SAME equations,
+    # so the two must agree to solver precision; the closed forms pin the
+    # arithmetic independently
+    from pytimetk_ray.ops.diagnostics import pacf_ywmle
+
+    rng = np.random.default_rng(8)
+    # AR(2)-ish series to give non-trivial structure
+    x = np.zeros(300)
+    e = rng.normal(size=300)
+    for t in range(2, 300):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t]
+    got = pacf_ywmle(x, 8)
+    dl = pacf_vals(x, 8)
+    np.testing.assert_allclose(got, dl, rtol=1e-8, atol=1e-10)
+    # closed forms from the biased autocovariances
+    xc = x - x.mean()
+    n = len(x)
+    r = np.array([xc[: n - k] @ xc[k:] / n for k in range(3)])
+    np.testing.assert_allclose(got[1], r[1] / r[0], rtol=1e-12)
+    np.testing.assert_allclose(
+        got[2], (r[0] * r[2] - r[1] ** 2) / (r[0] ** 2 - r[1] ** 2), rtol=1e-10)
+    # degenerate inputs
+    const = pacf_ywmle(np.ones(50), 3)
+    assert const[0] == 1.0 and np.all(const[1:] == 0.0)
+
+
 def test_acf_diagnostics(tsds, tsdf):
     out = acf_diagnostics(tsds, "ts", "v", by=["g"], lags=20, ccf_columns=["w"]).to_pandas()
     assert set(out["metric"].unique()) == {"acf", "pacf", "ccf_w"}
