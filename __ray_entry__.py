@@ -1188,6 +1188,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     return {
+        # --- first 50 = the driver's verification window: entries with no
+        # --- CORRECTNESS row in rounds 1-2 (all finance, holiday, spline/
+        # --- hilbert/wavelet, CV, diagnostics, ...) plus this round's new
+        # --- and materially-changed oracles; long-stable round-1/2 greens
+        # --- are parked below (regression-guarded by scripts/check_oracle)
+        "fin_roc_drawdown": fin_roc_drawdown,
+        "fin_bbands": fin_bbands,
+        "fin_rsi": fin_rsi,
+        "fin_macd": fin_macd,
+        "fin_cmo": fin_cmo,
+        "fin_atr": fin_atr,
+        "fin_stochastic": fin_stochastic,
+        "fin_ppo": fin_ppo,
+        "fin_ewma_vol": fin_ewma_vol,
+        "fin_fip": fin_fip,
+        "fin_qsmomentum": fin_qsmomentum,
+        "fin_risk": fin_risk,
+        "fin_risk_bench": fin_risk_bench,
+        "fin_risk_log": fin_risk_log,
+        "fin_hurst": fin_hurst,
+        "fin_adx": fin_adx,
+        "holiday_signature": holiday_signature,
+        "holiday_signature_multi": holiday_signature_multi,
+        "spline_sql": spline_sql,
+        "hilbert_sql": hilbert_sql,
+        "wavelet_sql": wavelet_sql,
+        "cv_folds": cv_folds,
+        "cv_folds_backward": cv_folds_backward,
+        "diag_acf_sql": diag_acf_sql,
+        "diag_stl_sql": diag_stl_sql,
+        "diag_stl_loess": diag_stl_loess,
+        "corr_funnel_sql": corr_funnel_sql,
+        "sessions": sessions,
+        "ts_features": ts_features_q,
+        "ts_features_ext": ts_features_ext,
+        "seasonal_diag": seasonal_diag,
+        "frequency_summary": frequency_summary,
+        "floor_ceil_dates": floor_ceil_dates,
+        "filter_by_time_month": filter_by_time_month,
+        "weekend_sequence": weekend_sequence,
+        "future_frame_bind": future_frame_bind,
+        "drop_zero_variance": drop_zero_variance_q,
+        "doc_stop_ratio": doc_stop_ratio,
+        "rolling_apply": rolling_apply,
+        "expanding_apply": expanding_apply,
+        "augment_pct_change": augment_pct_change,
+        "week_of_month": week_of_month,
+        "weekday_sequence": weekday_sequence,
+        "tier_ingest_salted_1h": tier_ingest_salted_1h,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "embedding_neardup": embedding_neardup,
+        "ann_ivf_full": ann_ivf_full,
+        "tier_ingest_1h": tier_ingest_1h,
+        "tier_expire_1h": tier_expire_1h,
+        "ann_topk": ann_topk,
+        # --- driver-verified green in r01/r02 (or rows-only by nature) ---
         "summarize_by_time_hour": summarize_by_time_hour,
         "summarize_by_time_day_type": summarize_by_time_day_type,
         "summarize_by_time_month": summarize_by_time_month,
@@ -1211,9 +1267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalize_stl": anomalize_stl,
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
-        "tier_ingest_1h": tier_ingest_1h,
-        "tier_ingest_salted_1h": tier_ingest_salted_1h,
-        "tier_expire_1h": tier_expire_1h,
         "tier_query_1h": tier_query_1h,
         "tpch_q1": tpch_q1,
         "dedup_exact": dedup_exact,
@@ -1234,65 +1287,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
-        "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_full": ann_ivf_full,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
         "multimodal_decode": multimodal_decode,
         "multimodal_pipeline": multimodal_pipeline,
-        "fin_roc_drawdown": fin_roc_drawdown,
-        "fin_bbands": fin_bbands,
-        "fin_rsi": fin_rsi,
-        "fin_macd": fin_macd,
-        "fin_cmo": fin_cmo,
-        "fin_atr": fin_atr,
-        "fin_stochastic": fin_stochastic,
-        "fin_ppo": fin_ppo,
-        "fin_ewma_vol": fin_ewma_vol,
-        "fin_fip": fin_fip,
-        "fin_qsmomentum": fin_qsmomentum,
-        "fin_risk": fin_risk,
-        "fin_risk_bench": fin_risk_bench,
-        "fin_risk_log": fin_risk_log,
-        "fin_hurst": fin_hurst,
-        "fin_adx": fin_adx,
         "fin_regime": fin_regime,
         "diag_acf": diag_acf,
-        "diag_acf_sql": diag_acf_sql,
         "diag_stl": diag_stl,
-        "diag_stl_sql": diag_stl_sql,
-        "diag_stl_loess": diag_stl_loess,
         "hilbert": hilbert,
-        "hilbert_sql": hilbert_sql,
-        "wavelet_sql": wavelet_sql,
-        "holiday_signature": holiday_signature,
-        "holiday_signature_multi": holiday_signature_multi,
         "corr_funnel": corr_funnel,
-        "corr_funnel_sql": corr_funnel_sql,
-        "floor_ceil_dates": floor_ceil_dates,
-        "filter_by_time_month": filter_by_time_month,
-        "weekend_sequence": weekend_sequence,
-        "future_frame_bind": future_frame_bind,
-        "drop_zero_variance": drop_zero_variance_q,
-        "doc_stop_ratio": doc_stop_ratio,
-        "rolling_apply": rolling_apply,
-        "expanding_apply": expanding_apply,
         "spline": spline,
-        "spline_sql": spline_sql,
         "wavelet": wavelet,
-        "seasonal_diag": seasonal_diag,
-        "frequency_summary": frequency_summary,
-        "cv_folds": cv_folds,
-        "cv_folds_backward": cv_folds_backward,
-        "ts_features": ts_features_q,
         "ts_features_full": ts_features_full,
         "ts_features_het": ts_features_het,
-        "ts_features_ext": ts_features_ext,
-        "sessions": sessions,
-        "augment_pct_change": augment_pct_change,
-        "week_of_month": week_of_month,
-        "weekday_sequence": weekday_sequence,
     }
 
 

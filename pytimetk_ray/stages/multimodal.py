@@ -6,17 +6,19 @@ resize / frame-sample run as actor-pool ``map_batches`` stages with SMALL
 batch sizes (binary payloads are wide — batch_size x concurrency must fit a
 worker heap; let the object store spill, never hold Python lists).
 
-The actual codec libraries (Pillow / torchaudio / PyAV) are NOT in this
-container, so the decode core is stubbed: ``use_fake_decode=True`` produces
-a deterministic fake (seeded from the payload hash) with the real output
-schema, and ``use_fake_decode=False`` raises NotImplementedError at the
-exact point a real decoder would plug in.  Everything around it — schema,
-actor signature, batch sizing, output layout — is real and tested.
+The codec libraries (Pillow / soundfile) are import-guarded: when present,
+``use_fake_decode=False`` decodes for real (codec loaded ONCE per actor in
+``__init__`` — the actor-pool pattern); when absent, construction raises
+ImportError at actor-build time with the fix spelled out.
+``use_fake_decode=True`` (default) produces a deterministic fake (seeded
+from the payload hash) with the real output schema so every surrounding
+stage stays testable in codec-less environments.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pandas as pd
@@ -24,25 +26,51 @@ import pandas as pd
 import ray.data as rd
 
 
-class ImageDecoder:
-    """binary payload -> fixed-size float32 feature tensor (H*W*C flat).
+def _import_pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
-    Real implementation would decode with Pillow/libjpeg in ``__init__``-
-    loaded codecs; the fake decoder derives a deterministic array from the
-    payload hash so downstream stages are testable."""
+
+def _import_soundfile():
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        return None
+
+
+class ImageDecoder:
+    """binary payload -> fixed-size float32 pixel tensor (H*W*C flat).
+
+    ``use_fake_decode=False`` + Pillow present: real decode —
+    open/convert/resize per payload, normalized to [0, 1].  The codec import
+    happens once per actor in ``__init__``.  Without Pillow the constructor
+    raises ImportError (so a misconfigured pipeline fails at actor build,
+    not per batch).  The fake decoder derives a deterministic array from the
+    payload hash."""
 
     def __init__(self, height: int = 32, width: int = 32, channels: int = 3,
                  use_fake_decode: bool = True):
         self.shape = (height, width, channels)
         self.use_fake_decode = use_fake_decode
+        if not use_fake_decode:
+            self._pil = _import_pil()
+            if self._pil is None:
+                raise ImportError(
+                    "real image decode requires Pillow (pip install Pillow); "
+                    "it is not importable here — construct with "
+                    "use_fake_decode=True for the deterministic stub")
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        h, w, c = self.shape
         if not self.use_fake_decode:
-            raise NotImplementedError(
-                "real image decode requires an image codec library (e.g. "
-                "Pillow), which is not available in this environment; "
-                "construct with use_fake_decode=True for the deterministic stub"
-            )
+            img = self._pil.open(io.BytesIO(payload))
+            img = img.convert("L" if c == 1 else "RGB").resize((w, h))
+            arr = np.asarray(img, dtype=np.float32) / np.float32(255.0)
+            return arr.reshape(-1)[: h * w * c]
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
         return rng.random(int(np.prod(self.shape)), dtype=np.float32)
@@ -62,20 +90,38 @@ class ImageDecoder:
 
 
 class AudioFrameSampler:
-    """binary payload -> every Nth frame's energy (deterministic stub)."""
+    """binary payload -> per-frame RMS energy over ``n_frames`` equal chunks.
+
+    ``use_fake_decode=False`` + soundfile present: real decode (mono-mixed,
+    chunked RMS); without soundfile the constructor raises ImportError.
+    Fake path: deterministic energies from the payload hash."""
 
     def __init__(self, n_frames: int = 16, use_fake_decode: bool = True):
         self.n_frames = n_frames
         self.use_fake_decode = use_fake_decode
+        if not use_fake_decode:
+            self._sf = _import_soundfile()
+            if self._sf is None:
+                raise ImportError(
+                    "real audio decode requires soundfile (pip install "
+                    "soundfile); it is not importable here — construct with "
+                    "use_fake_decode=True for the deterministic stub")
+
+    def _energies_one(self, payload: bytes) -> np.ndarray:
+        if not self.use_fake_decode:
+            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            chunks = np.array_split(data, self.n_frames)
+            return np.array(
+                [np.sqrt(np.mean(ch * ch)) if len(ch) else 0.0 for ch in chunks],
+                dtype=np.float32)
+        seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.random(self.n_frames, dtype=np.float32)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.use_fake_decode:
-            raise NotImplementedError("real audio decode requires an audio codec library")
-        energies = []
-        for p in batch["payload"]:
-            seed = int.from_bytes(hashlib.blake2b(p or b"", digest_size=8).digest(), "big")
-            rng = np.random.default_rng(seed)
-            energies.append(rng.random(self.n_frames, dtype=np.float32))
+        energies = [self._energies_one(p) for p in batch["payload"]]
         out = pd.DataFrame({"media_id": batch["media_id"].to_numpy()})
         out["frame_energy"] = energies
         return out

@@ -156,6 +156,48 @@ def test_multimodal_stub():
     assert len(a) == 32 * 32 * 3
 
 
+def test_multimodal_real_decode_import_guard():
+    # without Pillow/soundfile the REAL path must fail at actor construction
+    # with an actionable ImportError (not NotImplementedError per batch);
+    # with the libs present it must actually decode
+    from pytimetk_ray.stages.multimodal import (
+        AudioFrameSampler,
+        ImageDecoder,
+        _import_pil,
+        _import_soundfile,
+    )
+
+    if _import_pil() is None:
+        with pytest.raises(ImportError, match="Pillow"):
+            ImageDecoder(use_fake_decode=False)
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+        dec = ImageDecoder(height=4, width=4, channels=3, use_fake_decode=False)
+        px = dec._decode_one(buf.getvalue())
+        assert px.shape == (4 * 4 * 3,)
+        np.testing.assert_allclose(px.reshape(4, 4, 3)[..., 0], 1.0)
+        np.testing.assert_allclose(px.reshape(4, 4, 3)[..., 1], 0.0)
+    if _import_soundfile() is None:
+        with pytest.raises(ImportError, match="soundfile"):
+            AudioFrameSampler(use_fake_decode=False)
+    else:
+        import io
+
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        sf.write(buf, np.sin(np.linspace(0, 100, 8000)).astype(np.float32),
+                 8000, format="WAV")
+        s = AudioFrameSampler(n_frames=4, use_fake_decode=False)
+        e = s._energies_one(buf.getvalue())
+        assert e.shape == (4,) and (e > 0).all()
+
+
 def test_multimodal_resize_and_features():
     from pytimetk_ray.stages.multimodal import (
         decode_images,
