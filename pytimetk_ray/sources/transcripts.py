@@ -132,3 +132,94 @@ def write_transcripts(path: str, n_convs: int = 200, seed: int = 7,
             row_group_size=100_000,
         )
     return path
+
+
+def make_transcripts_table(n_convs: int, *, seed: int = 7,
+                           mean_turns: int = 40, hot_conv_factor: int = 50,
+                           id_prefix: str = "") -> pa.Table:
+    """Arrow-native corpus generator for BIG bench inputs: same schema and
+    distributions as ``make_transcripts(fast_text=True)`` but built entirely
+    from Arrow compute kernels + numpy — no pandas object-string columns
+    anywhere (DataFrame construction/sanitize/consolidate of tens of millions
+    of Python strings dominated the old path ~20x).  Rows are emitted in
+    shuffled order, value = utf8_len(text) * role_weight, as elsewhere."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    turns = np.maximum(rng.zipf(1.5, size=n_convs) * 2, 3)
+    turns = np.minimum(turns, mean_turns * 10)
+    turns[0] = mean_turns * hot_conv_factor
+    total = int(turns.sum())
+
+    conv_names = pa.array([f"{id_prefix}conv{i:06d}" for i in range(n_convs)])
+    conv_idx = np.repeat(np.arange(n_convs, dtype=np.int64), turns)
+    turn_idx = np.concatenate([np.arange(t, dtype=np.int32) for t in turns])
+
+    role_idx = rng.integers(0, 3, size=total)
+    tool_idx = rng.integers(0, len(_TOOLS), size=total)
+
+    word_cols = [
+        pc.take(pa.array(_WORDS), pa.array(rng.integers(0, len(_WORDS), size=total)))
+        for _ in range(4)
+    ]
+    fillers = pa.array(["tok " * r for r in range(6)])
+    filler = pc.take(fillers, pa.array(rng.integers(0, 6, size=total)))
+    texts = pc.binary_join_element_wise(*word_cols, filler, " ")
+
+    gaps = np.exp(rng.uniform(np.log(2.0), np.log(900.0), size=total))
+    dropout = rng.random(total) < 0.02
+    gaps[dropout] += rng.uniform(3600, 4 * 3600, size=int(dropout.sum()))
+    gaps_us = (gaps * 1e6).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(turns)[:-1]])
+    cum = np.cumsum(gaps_us)
+    base = np.repeat(cum[starts] - gaps_us[starts], turns)
+    rel = cum - base
+    t0 = np.int64(pd.Timestamp("2025-01-01").value // 1000)
+    conv_offset = np.repeat(rng.integers(0, 30 * 86_400_000_000, size=n_convs), turns)
+    ts = (t0 + conv_offset + rel).view("datetime64[us]")
+
+    role_w = np.array([1.0, 2.5, 0.5])
+    value = (pc.utf8_length(texts).to_numpy().astype(np.float64)
+             * role_w[role_idx])
+
+    perm = rng.permutation(total)
+    tbl = pa.table({
+        "conv_id": pc.take(conv_names, pa.array(conv_idx)),
+        "turn_idx": pa.array(turn_idx),
+        "role": pc.take(pa.array(_ROLES), pa.array(role_idx)),
+        "text": texts,
+        "tool": pc.take(pa.array(_TOOLS), pa.array(tool_idx)),
+        "ts": pa.array(ts),
+        "value": pa.array(value),
+    })
+    return tbl.take(pa.array(perm))
+
+
+def write_transcripts_chunked(path: str, n_convs: int, *, seed: int = 11,
+                              n_chunks: int = 10, files_per_chunk: int = 8,
+                              **kw) -> str:
+    """Big-corpus writer (the sf1 / quarter-billion-turn bench input): the
+    corpus is generated in ``n_chunks`` independent deterministic chunks —
+    each its own seed and a ``c{k}``-prefixed conv-id namespace — so peak
+    generator memory is one chunk, never the whole corpus.  Each chunk lands
+    as ``files_per_chunk`` parquet shards; a real 100 TB corpus is exactly
+    this many-shards layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    per = n_convs // n_chunks
+    for k in range(n_chunks):
+        tbl = make_transcripts_table(per, seed=seed + 1000 * k,
+                                     id_prefix=f"c{k:02d}", **kw)
+        n = len(tbl)
+        bounds = np.linspace(0, n, files_per_chunk + 1).astype(np.int64)
+        for i in range(files_per_chunk):
+            pq.write_table(
+                tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                os.path.join(path, f"part-{k:02d}-{i:04d}.parquet"),
+                row_group_size=200_000,
+            )
+        del tbl
+    return path

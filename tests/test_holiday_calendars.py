@@ -90,3 +90,50 @@ def test_us_unchanged():
     cal = us_federal_holidays(2024)
     assert cal[dt.date(2024, 1, 15)] == "Martin Luther King Jr. Day"
     assert cal[dt.date(2024, 11, 28)] == "Thanksgiving"
+
+
+def test_tagger_external_package_path(monkeypatch):
+    """The optional 'holidays'-package branch: exercised with a fake module
+    when the real package is absent (the sandbox case), for real otherwise.
+    Also pins the builtin fallback's NotImplementedError for unknown codes."""
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    from pytimetk_ray.ops.holiday import HolidayTagger
+
+    try:
+        import holidays  # noqa: F401
+
+        have_pkg = True
+    except ImportError:
+        have_pkg = False
+
+    if not have_pkg:
+        # unknown country + no package -> builtin fallback refuses loudly
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="built-in calendar"):
+            HolidayTagger("ts", country="JP", years=range(2024, 2025))
+        # fake module: any country code the package would support
+        fake = types.ModuleType("holidays")
+
+        def country_holidays(country, years):
+            assert country == "JP"
+            return {dt.date(y, 2, 11): "Foundation Day" for y in years}
+
+        fake.country_holidays = country_holidays
+        monkeypatch.setitem(sys.modules, "holidays", fake)
+
+    tagger = HolidayTagger("ts", country="JP", years=range(2024, 2026))
+    batch = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-02-11", "2024-02-10", "2024-02-12", "2024-06-01"])})
+    out = tagger(batch)
+    assert out["is_holiday"].tolist()[0] == 1
+    assert out["before_holiday"].tolist()[1] == 1
+    assert out["after_holiday"].tolist()[2] == 1
+    if not have_pkg:
+        assert out["holiday_name"].tolist()[0] == "Foundation Day"
+        assert np.all(out["is_holiday"].to_numpy() == [1, 0, 0, 0])
