@@ -46,7 +46,7 @@ def ensure_sf1_corpus() -> str:
 
         tmp = SF1_PATH + ".tmp"
         write_transcripts_chunked(tmp, SF1_CONVS, seed=11, n_chunks=10,
-                                  files_per_chunk=8, fast_text=True)
+                                  files_per_chunk=8)
         os.replace(tmp, SF1_PATH)
     return SF1_PATH
 
