@@ -1239,6 +1239,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return conversation_windows(_events(sf_dir), ["user_id"], "ts",
                                     "value", window=4)
 
+    def doc_hash_sample(sf_dir):
+        from pytimetk_ray.pipelines.corpus import hash_sample
+
+        return hash_sample(_docs(sf_dir), rate_ppm=250_000).select_columns(
+            ["doc_id", "lang", "n_chars"])
+
+    def quality_quantile_filter(sf_dir):
+        from pytimetk_ray.ops.quantiles import filter_by_quantile
+
+        # integer score (n_chars) => the interpolated threshold is exact in
+        # double on both engines at any q (ops/quantiles.py parity note)
+        kept, _thr = filter_by_quantile(_docs(sf_dir), "n_chars", 0.7)
+        return kept.select_columns(["doc_id", "n_chars"])
+
     return {
         # --- first 50 = the driver's verification window: entries with no
         # --- CORRECTNESS row in rounds 1-2 (all finance, holiday, spline/
@@ -1279,7 +1293,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_summary": frequency_summary,
         "floor_ceil_dates": floor_ceil_dates,
         "filter_by_time_month": filter_by_time_month,
-        "weekend_sequence": weekend_sequence,
         "future_frame_bind": future_frame_bind,
         "drop_zero_variance": drop_zero_variance_q,
         "doc_stop_ratio": doc_stop_ratio,
@@ -1287,7 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_apply": expanding_apply,
         "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
-        "weekday_sequence": weekday_sequence,
+        "doc_hash_sample": doc_hash_sample,
+        "quality_quantile_filter": quality_quantile_filter,
         "tier_ingest_salted_1h": tier_ingest_salted_1h,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "tier_ingest_1h": tier_ingest_1h,
@@ -1295,7 +1309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk_q,
         "conv_stats": conv_stats,
         "conv_windows": conv_windows,
-        # --- driver-verified green in r01/r02 (or rows-only by nature) ---
+        # --- driver-verified green in r01/r02 (or rows-only by nature),
+        # --- plus trivial driver-side sequence generators ---
+        "weekday_sequence": weekday_sequence,
+        "weekend_sequence": weekend_sequence,
         "embedding_neardup": embedding_neardup,
         "ann_ivf_full": ann_ivf_full,
         "tier_expire_1h": tier_expire_1h,
@@ -1804,6 +1821,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CASE WHEN gap_us > 7200000000 THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS n_sessions,
                    ROUND(SUM(value), 6) AS value_sum
             FROM d GROUP BY user_id
+        """,
+
+        # deterministic Bernoulli sample: md5_number_lower parity with
+        # pipelines/corpus.hash_sample (same chain as hash_split)
+        "doc_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 < 250000
+        """,
+
+        # quantile-threshold filter: integer score => interpolated quantile
+        # exact in double on both engines (ops/quantiles.py parity note)
+        "quality_quantile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)
         """,
 
         # sliding full turn-windows (training-example cut): frame of W rows,

@@ -125,6 +125,28 @@ def hash_split(ds: rd.Dataset, *, id_column: str = "doc_id",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def hash_sample(ds: rd.Dataset, *, id_column: str = "doc_id",
+                rate_ppm: int = 250_000, salt: str = "") -> rd.Dataset:
+    """Deterministic Bernoulli sample: keep iff md5(salt||id) % 1e6 < rate.
+
+    The reproducible counterpart of ``Dataset.random_sample`` for corpus
+    work — the SAME rows are kept on any cluster size, resume, or engine
+    (DuckDB ``md5_number_lower`` parity), and different ``salt`` values
+    give independent samples.  Stateless projection, no shuffle, no RNG."""
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError("rate_ppm must be within [0, 1e6]")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy()
+        keep = np.fromiter(
+            (tx.md5_u64(salt + str(int(i))) % 1_000_000 < rate_ppm
+             for i in ids),
+            dtype=bool, count=len(ids))
+        return batch[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def topk_per_group(ds: rd.Dataset, *, group_column: str = "lang",
                    score_column: str = "n_chars", id_column: str = "doc_id",
                    k: int = 5,
