@@ -1253,6 +1253,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept, _thr = filter_by_quantile(_docs(sf_dir), "n_chars", 0.7)
         return kept.select_columns(["doc_id", "n_chars"])
 
+    # --- joins (broadcast / co-partitioned hash / as-of) ---------------------
+
+    def join_broadcast(sf_dir):
+        from pytimetk_ray.ops.joins import broadcast_join
+
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name", "c_acctbal"])
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice"])
+        return broadcast_join(orders, cust, left_on="o_custkey",
+                              right_on="c_custkey")
+
+    def join_hash(sf_dir):
+        from pytimetk_ray.ops.joins import hash_join
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_linenumber",
+                                      "l_quantity"])
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_orderdate"])
+        return hash_join(li, orders, left_on="l_orderkey",
+                         right_on="o_orderkey", num_partitions=16)
+
+    def join_asof(sf_dir):
+        from pytimetk_ray.ops.joins import asof_join
+
+        ev = _events(sf_dir).select_columns(
+            ["event_id", "user_id", "ts", "value"])
+
+        def snap_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = batch[batch["event_id"] % 10 == 0]
+            return keep[["user_id", "ts", "value"]]
+
+        snap = _events(sf_dir).map_batches(snap_filter, batch_format="pandas")
+        return asof_join(ev, snap, by="user_id", on="ts")
+
     return {
         # --- first 50 = the driver's verification window: entries with no
         # --- CORRECTNESS row in rounds 1-2 (all finance, holiday, spline/
@@ -1298,13 +1335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stop_ratio": doc_stop_ratio,
         "rolling_apply": rolling_apply,
         "expanding_apply": expanding_apply,
-        "augment_pct_change": augment_pct_change,
         "week_of_month": week_of_month,
         "doc_hash_sample": doc_hash_sample,
         "quality_quantile_filter": quality_quantile_filter,
         "tier_ingest_salted_1h": tier_ingest_salted_1h,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "tier_ingest_1h": tier_ingest_1h,
+        "join_broadcast": join_broadcast,
+        "join_hash": join_hash,
+        "join_asof": join_asof,
         "pii_redact": pii_redact,
         "tfidf_topk": tfidf_topk_q,
         "conv_stats": conv_stats,
@@ -1313,6 +1350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- plus trivial driver-side sequence generators ---
         "weekday_sequence": weekday_sequence,
         "weekend_sequence": weekend_sequence,
+        "augment_pct_change": augment_pct_change,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "tier_ingest_1h": tier_ingest_1h,
         "embedding_neardup": embedding_neardup,
         "ann_ivf_full": ann_ivf_full,
         "tier_expire_1h": tier_expire_1h,
@@ -1821,6 +1861,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CASE WHEN gap_us > 7200000000 THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS n_sessions,
                    ROUND(SUM(value), 6) AS value_sum
             FROM d GROUP BY user_id
+        """,
+
+        # joins: broadcast (dimension), co-partitioned hash (big-big), as-of
+        # (point-in-time; DuckDB's native ASOF JOIN is the oracle)
+        "join_broadcast": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "join_hash": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "join_asof": """
+            WITH snap AS (
+                SELECT user_id, ts, value FROM events WHERE event_id % 10 = 0
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.value,
+                   s.ts AS ts_r, s.value AS value_r
+            FROM events e ASOF LEFT JOIN snap s
+                 ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
 
         # deterministic Bernoulli sample: md5_number_lower parity with
