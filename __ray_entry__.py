@@ -503,6 +503,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cross_split_contamination(_docs(sf_dir), shingle_k=8)
 
+    def decontaminate_bloom(sf_dir):
+        # space-bounded variant: blocked Bloom filter broadcast instead of
+        # the shingle shuffle; sized so expected false positives << 1 —
+        # the oracle is the SAME SQL as `decontaminate` (a mismatch IS a
+        # detected false positive)
+        from pytimetk_ray.pipelines.corpus import bloom_contamination
+
+        return bloom_contamination(_docs(sf_dir), shingle_k=8)
+
     def prep_composite(sf_dir):
         # the full training-data prep chain, oracle-checked end to end:
         # quality filter -> exact dedup -> md5-MinHash near-dup components
@@ -1253,6 +1262,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept, _thr = filter_by_quantile(_docs(sf_dir), "n_chars", 0.7)
         return kept.select_columns(["doc_id", "n_chars"])
 
+    def dedup_lines_q(sf_dir):
+        from pytimetk_ray.pipelines.linedup import dedup_lines
+
+        return dedup_lines(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                           words_per_line=8, min_count=2, keep="first")
+
+    def quantile_sketch_q(sf_dir):
+        # mergeable KLL sketch (kernels/sketch.py): bounded-memory quantiles
+        # for continuous columns — rows-only by nature (eps-rank approximate;
+        # the exact-histogram twin `quality_quantile_filter` is the oracled
+        # path, the envelope is pinned by tests/test_sketch.py)
+        import ray.data as rd
+        from pytimetk_ray.ops.quantiles import column_quantiles_sketch
+
+        ev = rd.read_parquet(os.path.join(sf_dir, _EV), columns=["value"])
+        return column_quantiles_sketch(ev, ["value"],
+                                       [0.1, 0.25, 0.5, 0.75, 0.9], k=200)
+
+    def sample_stratified_q(sf_dir):
+        import ray.data as rd
+        from pytimetk_ray.pipelines.corpus import sample_stratified
+
+        ev = rd.read_parquet(os.path.join(sf_dir, _EV),
+                             columns=["event_id", "event_type", "value"])
+        return sample_stratified(ev, group_column="event_type",
+                                 id_column="event_id", frac_ppm=200_000)
+
     # --- joins (broadcast / co-partitioned hash / as-of) ---------------------
 
     def join_broadcast(sf_dir):
@@ -1332,12 +1368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_by_time_month": filter_by_time_month,
         "future_frame_bind": future_frame_bind,
         "drop_zero_variance": drop_zero_variance_q,
-        "doc_stop_ratio": doc_stop_ratio,
         "rolling_apply": rolling_apply,
         "expanding_apply": expanding_apply,
         "week_of_month": week_of_month,
-        "doc_hash_sample": doc_hash_sample,
-        "quality_quantile_filter": quality_quantile_filter,
+        "dedup_lines": dedup_lines_q,
+        "sample_stratified": sample_stratified_q,
+        "decontaminate_bloom": decontaminate_bloom,
         "tier_ingest_salted_1h": tier_ingest_salted_1h,
         "join_broadcast": join_broadcast,
         "join_hash": join_hash,
@@ -1348,6 +1384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": conv_windows,
         # --- driver-verified green in r01/r02 (or rows-only by nature),
         # --- plus trivial driver-side sequence generators ---
+        "doc_hash_sample": doc_hash_sample,
+        "quality_quantile_filter": quality_quantile_filter,
+        "quantile_sketch": quantile_sketch_q,
+        "doc_stop_ratio": doc_stop_ratio,
         "weekday_sequence": weekday_sequence,
         "weekend_sequence": weekend_sequence,
         "augment_pct_change": augment_pct_change,
@@ -1783,7 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         )
 
     _lsh_b0, _lsh_b1 = _band_expr(0), _band_expr(1)
-    return {
+    sql = {
         # PII scrub: same RE2 patterns as pipelines/scrub.DEFAULT_PII_PATTERNS
         # (Arrow and DuckDB both run RE2, so pattern strings are shared
         # verbatim); counts on the original text, replacements in list order
@@ -1881,6 +1921,55 @@ def oracle_sql() -> dict[str, str]:
                    s.ts AS ts_r, s.value AS value_r
             FROM events e ASOF LEFT JOIN snap s
                  ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+
+        # C4-style corpus line dedup (pipelines/linedup.dedup_lines):
+        # 8-word lines, keep the globally-first instance of each duplicated
+        # line, rebuild the text from survivors.  The oracle never sees the
+        # engine's internal hash — it compares the reconstructed TEXT.
+        "dedup_lines": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                FROM documents),
+            lines AS (
+                SELECT doc_id, i // 8 AS ln,
+                       string_agg(word, ' ' ORDER BY i) AS line
+                FROM w GROUP BY doc_id, i // 8),
+            marked AS (
+                SELECT doc_id, ln, line,
+                       count(*) OVER (PARTITION BY line) AS c,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, ln) AS rn
+                FROM lines),
+            kept AS (SELECT doc_id, ln, line FROM marked
+                     WHERE c < 2 OR rn = 1),
+            nl AS (SELECT doc_id, count(*) AS n_lines FROM lines
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, ' ' ORDER BY k.ln), '')
+                       AS text_dedup,
+                   nl.n_lines,
+                   nl.n_lines - count(k.ln) AS n_removed
+            FROM documents d
+            JOIN nl USING (doc_id)
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id, nl.n_lines
+        """,
+
+        # exact-fraction stratified sample: per-group md5 rank election,
+        # integer-ceil k — corpus.sample_stratified parity
+        "sample_stratified": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                                    event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+            SELECT event_id, event_type, value FROM r
+            WHERE rn <= (n * 200000 + 999999) // 1000000
         """,
 
         # deterministic Bernoulli sample: md5_number_lower parity with
@@ -3786,3 +3875,8 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.2
         """,
     }
+    # the Bloom variant is bit-equal to the exact operator by construction
+    # (filter sized so expected false positives << 1) — SAME oracle; a
+    # mismatch IS a detected false positive
+    sql["decontaminate_bloom"] = sql["decontaminate"]
+    return sql

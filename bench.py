@@ -29,11 +29,21 @@ def ensure_corpus(n_convs: int = BENCH_CONVS, fast_text: bool = False) -> str:
     path = f"/tmp/pytimetk_ray_bench/transcripts_{n_convs}{'_ft' if fast_text else ''}"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        from pytimetk_ray.sources.transcripts import write_transcripts
-
         tmp = path + ".tmp"
-        write_transcripts(tmp, n_convs=n_convs, seed=11, num_files=64,
-                          fast_text=fast_text)
+        if fast_text:
+            # Arrow-native generator (~20x faster than the pandas object-
+            # string path; same schema/distributions) — big corpora only,
+            # written as one chunk of 64 shards
+            from pytimetk_ray.sources.transcripts import (
+                write_transcripts_chunked)
+
+            write_transcripts_chunked(tmp, n_convs, seed=11, n_chunks=1,
+                                      files_per_chunk=64)
+        else:
+            from pytimetk_ray.sources.transcripts import write_transcripts
+
+            write_transcripts(tmp, n_convs=n_convs, seed=11, num_files=64,
+                              fast_text=fast_text)
         os.replace(tmp, path)
     return path
 

@@ -4,9 +4,11 @@ Reference: src/pytimetk/feature_engineering/holiday_signature.py:33-46
 (signature) and :268-311 (build a holiday lookup then map;
 ``before_holiday`` / ``after_holiday`` are +/-1-day shifts of membership).
 
-The reference uses the ``holidays`` package (not in this environment); a
-built-in algorithmic US-federal calendar stands in, and any installed
-``holidays`` package is used when present (import-try).  The calendar is an
+The reference uses the ``holidays`` package (not in this environment);
+built-in algorithmic calendars stand in for ten country codes
+(US/UK/GB/DE/FR/CA/AU/ES/IT/NL — fixed dates, nth-weekday rules, Easter
+computus, weekend-substitute rules), and any installed ``holidays``
+package is used when present (import-try) for every other country code.  The calendar is an
 ACTOR-POOL state: built once per worker in ``__init__`` (the reference
 rebuilds it per call — SURVEY.md §2.2 maps that to actor state)."""
 
@@ -152,6 +154,91 @@ def ca_holidays(year: int) -> dict[dt.date, str]:
     }
 
 
+def au_holidays(year: int) -> dict[dt.date, str]:
+    """Australian NATIONAL public holidays (state-specific ones excluded;
+    weekend substitutes per the national simplified rule: New Year /
+    Australia Day / Christmas / Boxing Day move or add the next weekday)."""
+    e = easter(year)
+    cal = {
+        e - dt.timedelta(days=2): "Good Friday",
+        e + dt.timedelta(days=1): "Easter Monday",
+        dt.date(year, 4, 25): "Anzac Day",
+    }
+    ny = dt.date(year, 1, 1)
+    cal[ny] = "New Year's Day"
+    if ny.weekday() >= 5:
+        cal[_next_monday(ny)] = "New Year's Day (additional)"
+    aus = dt.date(year, 1, 26)
+    cal[aus if aus.weekday() < 5 else _next_monday(aus)] = "Australia Day"
+    xmas, boxing = dt.date(year, 12, 25), dt.date(year, 12, 26)
+    cal[xmas] = "Christmas Day"
+    cal[boxing] = "Boxing Day"
+    if xmas.weekday() == 5:      # Sat 25 / Sun 26 -> Mon 27 + Tue 28 added
+        cal[dt.date(year, 12, 27)] = "Christmas Day (additional)"
+        cal[dt.date(year, 12, 28)] = "Boxing Day (additional)"
+    elif xmas.weekday() == 6:    # Sun 25 / Mon 26 -> Tue 27 added
+        cal[dt.date(year, 12, 27)] = "Christmas Day (additional)"
+    elif xmas.weekday() == 4:    # Fri 25 / Sat 26 -> Mon 28 added
+        cal[dt.date(year, 12, 28)] = "Boxing Day (additional)"
+    return cal
+
+
+def es_holidays(year: int) -> dict[dt.date, str]:
+    """Spanish NATIONAL public holidays (fiestas nacionales; autonomous-
+    community holidays excluded)."""
+    e = easter(year)
+    return {
+        dt.date(year, 1, 1): "Ano Nuevo",
+        dt.date(year, 1, 6): "Epifania del Senor",
+        e - dt.timedelta(days=2): "Viernes Santo",
+        dt.date(year, 5, 1): "Fiesta del Trabajo",
+        dt.date(year, 8, 15): "Asuncion de la Virgen",
+        dt.date(year, 10, 12): "Fiesta Nacional de Espana",
+        dt.date(year, 11, 1): "Todos los Santos",
+        dt.date(year, 12, 6): "Dia de la Constitucion",
+        dt.date(year, 12, 8): "Inmaculada Concepcion",
+        dt.date(year, 12, 25): "Navidad",
+    }
+
+
+def it_holidays(year: int) -> dict[dt.date, str]:
+    """Italian national public holidays (giorni festivi)."""
+    e = easter(year)
+    return {
+        dt.date(year, 1, 1): "Capodanno",
+        dt.date(year, 1, 6): "Epifania",
+        e + dt.timedelta(days=1): "Lunedi dell'Angelo",
+        dt.date(year, 4, 25): "Festa della Liberazione",
+        dt.date(year, 5, 1): "Festa del Lavoro",
+        dt.date(year, 6, 2): "Festa della Repubblica",
+        dt.date(year, 8, 15): "Assunzione di Maria",
+        dt.date(year, 11, 1): "Ognissanti",
+        dt.date(year, 12, 8): "Immacolata Concezione",
+        dt.date(year, 12, 25): "Natale",
+        dt.date(year, 12, 26): "Santo Stefano",
+    }
+
+
+def nl_holidays(year: int) -> dict[dt.date, str]:
+    """Dutch national public holidays; Koningsdag (Apr 27) moves to Apr 26
+    when it falls on a Sunday (public rule since 2014)."""
+    e = easter(year)
+    kd = dt.date(year, 4, 27)
+    if kd.weekday() == 6:
+        kd = dt.date(year, 4, 26)
+    return {
+        dt.date(year, 1, 1): "Nieuwjaarsdag",
+        e - dt.timedelta(days=2): "Goede Vrijdag",
+        e + dt.timedelta(days=1): "Tweede Paasdag",
+        kd: "Koningsdag",
+        dt.date(year, 5, 5): "Bevrijdingsdag",
+        e + dt.timedelta(days=39): "Hemelvaartsdag",
+        e + dt.timedelta(days=50): "Tweede Pinksterdag",
+        dt.date(year, 12, 25): "Eerste Kerstdag",
+        dt.date(year, 12, 26): "Tweede Kerstdag",
+    }
+
+
 _BUILTIN_CALENDARS = {
     "US": us_federal_holidays,
     "UK": uk_holidays,
@@ -159,6 +246,10 @@ _BUILTIN_CALENDARS = {
     "DE": de_holidays,
     "FR": fr_holidays,
     "CA": ca_holidays,
+    "AU": au_holidays,
+    "ES": es_holidays,
+    "IT": it_holidays,
+    "NL": nl_holidays,
 }
 
 

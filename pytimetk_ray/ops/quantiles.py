@@ -12,7 +12,8 @@ Distinct-value cardinality caveat: for continuous scores the histogram is
 as big as the distinct-value count.  Quality scores in practice are ratios
 of small integers or bounded-precision floats (and can be pre-rounded via
 ``round_to``), which keeps the histogram tiny; for truly continuous data at
-100 TB swap in a mergeable sketch (t-digest) and accept approximate edges.
+100 TB use ``column_quantiles_sketch`` below (mergeable KLL,
+``kernels/sketch.py``) and accept eps-rank-approximate edges.
 
 Float-parity note (oracle): with INTEGER-valued scores the interpolated
 quantile is exact in double arithmetic on both engines (d = hi-lo is an
@@ -105,3 +106,53 @@ def filter_by_quantile(ds: rd.Dataset, score_column: str, q: float, *,
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True), thr
+
+
+def column_quantiles_sketch(ds: rd.Dataset, columns: Sequence[str],
+                            qs: Sequence[float], *, k: int = 200,
+                            num_partitions: int = 8) -> pd.DataFrame:
+    """Approximate per-column quantiles via mergeable KLL sketches —
+    the bounded-memory path for CONTINUOUS high-cardinality scores where
+    the exact histogram of ``column_quantiles`` would grow with the
+    distinct-value count (see module docstring caveat).
+
+    Shape: one KLL per (block, column) built vectorized in ``map_batches``
+    (the partial), serialized sketches reduced by a tiny keyed merge (one
+    group per column), quantiles read off the merged sketch.  State per
+    column is O(k log(n/k)) bytes INDEPENDENT of cardinality; rank error is
+    the KLL eps ~ O(1/k) (k=200 => ~1% of n).  Returns (column, q, value)
+    like ``column_quantiles``."""
+    from pytimetk_ray.kernels.sketch import KLL
+
+    columns = list(columns)
+    qarr = [float(q) for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            sk = KLL(k=k).update_many(batch[c].to_numpy(np.float64))
+            rows.append((c, sk.to_bytes()))
+        return pd.DataFrame(rows, columns=["col", "sk"])
+
+    def merge_col(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c, grp in part.groupby("col", sort=False):
+            it = iter(grp["sk"])
+            acc = KLL.from_bytes(next(it))
+            for raw in it:
+                acc.merge(KLL.from_bytes(raw))
+            out.append((c, acc.to_bytes()))
+        return pd.DataFrame(out, columns=["col", "sk"])
+
+    merged = partitioned_group_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["col"], merge_col, sort_by=["col"],
+        num_partitions=min(num_partitions, max(1, len(columns))),
+    ).to_pandas()
+
+    rows = []
+    for c, raw in zip(merged["col"], merged["sk"]):
+        sk = KLL.from_bytes(raw)
+        for q, v in zip(qarr, sk.quantiles(qarr)):
+            rows.append((c, q, float(v)))
+    return pd.DataFrame(rows, columns=["column", "q", "value"])

@@ -147,6 +147,55 @@ def hash_sample(ds: rd.Dataset, *, id_column: str = "doc_id",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def sample_stratified(ds: rd.Dataset, *, group_column: str,
+                      id_column: str, frac_ppm: int = 200_000,
+                      num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:
+    """Exact-fraction per-group deterministic sample (stratified sampling).
+
+    Keeps exactly ``ceil(frac * n_g)`` rows of every group — the rows whose
+    ``md5(id)`` rank inside the group is smallest (ties broken by id).
+    Unlike ``hash_sample``'s Bernoulli keep, strata proportions are EXACT:
+    no group is over/under-sampled by chance, tiny groups are never emptied,
+    and the selection is reproducible on any cluster size or resume (DuckDB
+    ``md5_number_lower`` parity, no RNG state).
+
+    ``frac_ppm`` is parts-per-million; k is the INTEGER ceil
+    ``(n*frac_ppm + 999_999) // 1_000_000`` so both engine and SQL oracle
+    compute it in exact integer arithmetic.
+
+    Shape: whole groups co-located via ``exec.partitioned_group_map`` (the
+    engine's standard per-group primitive), rank election vectorized over
+    all groups in the partition.  For groups too hot to co-locate, the
+    md5 rank is uniform, so the same semantics distribute as a two-pass
+    threshold selection (per-group k-th-smallest rank via a quantile
+    sketch, then a stateless filter) — not needed at this corpus's key
+    cardinality.  Payload-heavy rows would run the narrow (group, id, h)
+    election first and join back by id (see ``pipelines/linedup``)."""
+    if not 0 <= frac_ppm <= 1_000_000:
+        raise ValueError("frac_ppm must be within [0, 1e6]")
+
+    def elect(part: pd.DataFrame) -> pd.DataFrame:
+        from pytimetk_ray.exec import group_starts, row_number_in_group
+        ids = part[id_column].to_numpy()
+        h = np.fromiter((tx.md5_u64(str(int(i))) for i in ids),
+                        dtype=np.uint64, count=len(ids))
+        codes, _ = pd.factorize(part[group_column], sort=False)
+        order = np.lexsort((ids, h, codes))
+        codes_sorted = codes[order]
+        rn = row_number_in_group(codes_sorted)
+        starts = group_starts(codes_sorted)
+        sizes = np.diff(np.append(starts, len(codes_sorted)))
+        k = (sizes * np.int64(frac_ppm) + 999_999) // 1_000_000
+        keep_sorted = rn < np.repeat(k, sizes)
+        keep = np.zeros(len(part), dtype=bool)
+        keep[order] = keep_sorted
+        return part.loc[keep]
+
+    return partitioned_group_map(ds, [group_column], elect,
+                                 sort_by=None,
+                                 num_partitions=num_partitions)
+
+
 def topk_per_group(ds: rd.Dataset, *, group_column: str = "lang",
                    score_column: str = "n_chars", id_column: str = "doc_id",
                    k: int = 5,
@@ -386,3 +435,143 @@ def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
     return ds.map_batches(Scorer, fn_constructor_kwargs=dict(ref=table_ref),
                           batch_format="pandas", batch_size=4096,
                           concurrency=concurrency)
+
+
+# --- Bloom-filter decontamination (space-bounded broadcast variant) ---------
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 increment
+_BLOOM_MUL = np.uint64(0xBF58476D1CE4E5B9)   # splitmix64 mixer
+
+
+def _bloom_positions(h: np.ndarray, j: int, block_bits_log: int) -> np.ndarray:
+    """j-th derived bit position (within a block) for 64-bit shingle hashes.
+
+    splitmix64-style mixing of (h ^ j*C) — vectorized uint64, deterministic
+    across processes; the top ``block_bits_log`` bits index into the block."""
+    with np.errstate(over="ignore"):
+        x = (h ^ (np.uint64(j) * _BLOOM_MIX)) * _BLOOM_MUL
+        x ^= x >> np.uint64(31)
+        x *= _BLOOM_MUL
+    return (x >> np.uint64(64 - block_bits_log)).astype(np.int64)
+
+
+def _bloom_probe(bits: np.ndarray, h: np.ndarray, blocks: int,
+                 block_bits_log: int, k_hashes: int) -> np.ndarray:
+    """Membership test for an array of hashes against the packed filter."""
+    base = (h % np.uint64(blocks)).astype(np.int64) << np.int64(block_bits_log)
+    hit = np.ones(len(h), dtype=bool)
+    for j in range(k_hashes):
+        pos = base + _bloom_positions(h, j, block_bits_log)
+        hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+    return hit
+
+
+def bloom_contamination(
+    ds: rd.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 8,
+    train_pct: int = 90,
+    test_lo: int = 95,
+    blocks: int = 64,
+    block_bits_log: int = 21,
+    k_hashes: int = 4,
+    num_partitions: int = CORPUS_PARTITIONS,
+) -> rd.Dataset:
+    """``cross_split_contamination`` with a BLOCKED BLOOM FILTER instead of
+    the shingle-keyed shuffle — the space-bounded scale path.
+
+    The exact variant's exchange grows with the TRAIN shingle stream; here
+    the train side is folded into a fixed ``blocks * 2^block_bits_log``-bit
+    filter (default 64 * 2M bits = 16 MiB) that is broadcast ONCE
+    (``ray.put``) and probed by a stateless pass over the test side — no
+    per-test-shingle shuffle at all.  Build is distributed: each shingle's
+    k bit positions live inside the block ``h % blocks`` (a blocked Bloom
+    filter, cache-friendly and independently constructible), so one keyed
+    exchange of (block_id, h) rows lets every task build ITS blocks and the
+    driver collects exactly ``blocks`` fixed-size byte rows — 16 MiB total
+    regardless of corpus size.
+
+    False positives: with load f = k*n/m per block the per-probe FP rate is
+    ~(1-e^-f)^k.  At the defaults (m = 2^27 bits, k = 4) a train side of
+    ~10M distinct shingles gives FP ~ 1e-5 — size m so that
+    (expected probes) * FP << 1 and the output is bit-equal to the exact
+    operator (the oracle SQL is the SAME as ``decontaminate``'s; any
+    deviation IS a detected false positive).  Output columns match
+    ``cross_split_contamination``: (doc_id, n_shingles, n_shared,
+    contaminated)."""
+    if blocks & (blocks - 1):
+        raise ValueError("blocks must be a power of two")
+    block_bytes = (1 << block_bits_log) // 8
+
+    def explode_train(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            if tx.md5_u64(str(int(i))) % 100 >= train_pct:
+                continue
+            sh = tx.shingle_strings(t, shingle_k)
+            if sh:
+                hs.append(np.unique(tx.md5_u64_many(sh)))
+        h = (np.unique(np.concatenate(hs)) if hs
+             else np.zeros(0, dtype=np.uint64))
+        return pd.DataFrame({
+            "block": (h % np.uint64(blocks)).astype(np.int64),
+            "h": h.astype(np.int64),
+        })
+
+    def build_blocks(part: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_bits = [], []
+        for blk, grp in part.groupby("block", sort=True):
+            h = grp["h"].to_numpy().astype(np.uint64)
+            bits = np.zeros(block_bytes, dtype=np.uint8)
+            for j in range(k_hashes):
+                pos = _bloom_positions(h, j, block_bits_log)
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.left_shift(np.uint8(1),
+                                               (pos & 7).astype(np.uint8)))
+            out_ids.append(int(blk))
+            out_bits.append(bits.tobytes())
+        return pd.DataFrame({"block": np.array(out_ids, dtype=np.int64),
+                             "bits": pd.Series(out_bits, dtype=object)})
+
+    built = partitioned_group_map(
+        ds.map_batches(explode_train, batch_format="pandas"),
+        ["block"], build_blocks, sort_by=["block"],
+        num_partitions=min(num_partitions, blocks)).to_pandas()
+    # assemble the packed filter: blocks * block_bytes, absent blocks zero
+    packed = np.zeros(blocks * block_bytes, dtype=np.uint8)
+    for blk, raw in zip(built["block"], built["bits"]):
+        packed[blk * block_bytes:(blk + 1) * block_bytes] = np.frombuffer(
+            raw, dtype=np.uint8)
+    filt_ref = ray.put(packed)
+
+    class Prober:
+        def __init__(self, ref):
+            self.bits = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, tot, shr = [], [], []
+            for i, t in zip(batch[id_column], batch[text_column]):
+                if not (test_lo <= tx.md5_u64(str(int(i))) % 100 < 100):
+                    continue
+                sh = tx.shingle_strings(t, shingle_k)
+                if not sh:
+                    continue
+                u = np.unique(tx.md5_u64_many(sh))
+                hit = _bloom_probe(self.bits, u, blocks, block_bits_log,
+                                   k_hashes)
+                ids.append(int(i))
+                tot.append(len(u))
+                shr.append(int(hit.sum()))
+            return pd.DataFrame({
+                id_column: np.array(ids, dtype=np.int64),
+                "n_shingles": np.array(tot, dtype=np.int64),
+                "n_shared": np.array(shr, dtype=np.int64),
+                "contaminated": np.array(shr, dtype=np.int64) > 0,
+            })
+
+    half = max(1, int(ray.cluster_resources().get("CPU", 2)) // 2)
+    return ds.map_batches(Prober, fn_constructor_kwargs=dict(ref=filt_ref),
+                          batch_format="pandas",
+                          concurrency=min(4, half))

@@ -151,3 +151,63 @@ def test_unigram_logprob_matches_local(docs_df):
         exp = np.mean([logp.get(w, oov) for w in ws])
         assert got.loc[did, "n_tokens"] == len(ws)
         assert abs(got.loc[did, "logprob"] - exp) < 1e-9
+
+
+def test_bloom_contamination_matches_exact():
+    from pytimetk_ray.pipelines.corpus import (bloom_contamination,
+                                               cross_split_contamination)
+
+    # a corpus with planted cross-split 8-grams AND clean docs; the Bloom
+    # variant (sized for ~zero expected FPs) must be bit-equal to exact
+    rng = np.random.default_rng(19)
+    words = [f"w{k}" for k in range(200)]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(300):
+        body = " ".join(rng.choice(words, size=30))
+        if i % 17 == 0:
+            body = f"{body} {shared}"  # planted leak in some docs
+        rows.append({"doc_id": i, "text": body})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
+    exact = (cross_split_contamination(ds, shingle_k=8)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bloom = (bloom_contamination(rd.from_pandas(df), shingle_k=8,
+                                 blocks=16, block_bits_log=18)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bloom, exact)
+    assert exact["contaminated"].any()  # the fixture actually plants leaks
+
+
+def test_bloom_probe_no_false_negatives():
+    from pytimetk_ray.pipelines.corpus import (_bloom_positions, _bloom_probe)
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, size=5000).astype(np.uint64)
+    blocks, bbl, k = 8, 16, 4
+    block_bytes = (1 << bbl) // 8
+    bits = np.zeros(blocks * block_bytes, dtype=np.uint8)
+    for j in range(k):
+        pos = ((h % np.uint64(blocks)).astype(np.int64) << np.int64(bbl)) \
+            + _bloom_positions(h, j, bbl)
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+    assert _bloom_probe(bits, h, blocks, bbl, k).all()  # every member hits
+    probe = rng.integers(0, 2**63, size=20000).astype(np.uint64)
+    fresh = probe[~np.isin(probe, h)]
+    fp = _bloom_probe(bits, fresh, blocks, bbl, k).mean()
+    # load f = k*n/m = 4*5000/2^19 ~ 0.038 -> FP ~ (1-e^-f)^4 ~ 2e-6
+    assert fp < 1e-3
+
+
+def test_sample_stratified_registered_nothing_else_changed():
+    # guard: frac_ppm=1e6 keeps EVERY row (k = n) — identity sample
+    df = pd.DataFrame({"event_id": np.arange(50, dtype=np.int64),
+                       "event_type": ["x"] * 25 + ["y"] * 25,
+                       "value": np.arange(50, dtype=np.float64)})
+    from pytimetk_ray.pipelines.corpus import sample_stratified
+    got = (sample_stratified(rd.from_pandas(df), group_column="event_type",
+                             id_column="event_id", frac_ppm=1_000_000,
+                             num_partitions=3)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, df)

@@ -137,3 +137,62 @@ def test_tagger_external_package_path(monkeypatch):
     if not have_pkg:
         assert out["holiday_name"].tolist()[0] == "Foundation Day"
         assert np.all(out["is_holiday"].to_numpy() == [1, 0, 0, 0])
+
+
+def test_au_2024_and_substitutes():
+    from pytimetk_ray.ops.holiday import au_holidays
+
+    cal = au_holidays(2024)
+    assert cal[dt.date(2024, 1, 1)] == "New Year's Day"
+    assert cal[dt.date(2024, 1, 26)] == "Australia Day"   # Friday, no move
+    assert cal[dt.date(2024, 3, 29)] == "Good Friday"
+    assert cal[dt.date(2024, 4, 1)] == "Easter Monday"
+    assert cal[dt.date(2024, 4, 25)] == "Anzac Day"
+    assert cal[dt.date(2024, 12, 25)] == "Christmas Day"
+    assert cal[dt.date(2024, 12, 26)] == "Boxing Day"
+    # 2022: Jan 1 Sat -> additional Mon Jan 3; Dec 25 Sun -> Tue 27 added
+    cal22 = au_holidays(2022)
+    assert dt.date(2022, 1, 3) in cal22
+    assert dt.date(2022, 1, 1) in cal22          # actual day stays listed
+    assert dt.date(2022, 12, 27) in cal22
+    # 2021: Jan 26 Tue (no move); Christmas Sat -> Mon 27 + Tue 28 added
+    cal21 = au_holidays(2021)
+    assert cal21[dt.date(2021, 1, 26)] == "Australia Day"
+    assert dt.date(2021, 12, 27) in cal21 and dt.date(2021, 12, 28) in cal21
+
+
+def test_es_it_2025_fixed_and_easter():
+    from pytimetk_ray.ops.holiday import es_holidays, it_holidays
+
+    es = es_holidays(2025)
+    assert es[dt.date(2025, 1, 6)] == "Epifania del Senor"
+    assert es[dt.date(2025, 4, 18)] == "Viernes Santo"    # Easter 2025-04-20
+    assert es[dt.date(2025, 10, 12)] == "Fiesta Nacional de Espana"
+    assert es[dt.date(2025, 12, 6)] == "Dia de la Constitucion"
+    assert len(es) == 10
+    it = it_holidays(2025)
+    assert it[dt.date(2025, 4, 21)] == "Lunedi dell'Angelo"
+    assert it[dt.date(2025, 6, 2)] == "Festa della Repubblica"
+    assert it[dt.date(2025, 12, 26)] == "Santo Stefano"
+    assert len(it) == 11
+
+
+def test_nl_koningsdag_sunday_rule():
+    from pytimetk_ray.ops.holiday import nl_holidays
+
+    # 2025: Apr 27 is a Sunday -> Koningsdag observed Sat Apr 26
+    nl25 = nl_holidays(2025)
+    assert nl25[dt.date(2025, 4, 26)] == "Koningsdag"
+    assert dt.date(2025, 4, 27) not in nl25
+    # 2024: Apr 27 Saturday -> stays
+    nl24 = nl_holidays(2024)
+    assert nl24[dt.date(2024, 4, 27)] == "Koningsdag"
+    assert nl24[dt.date(2024, 5, 9)] == "Hemelvaartsdag"   # Easter+39
+    assert nl24[dt.date(2024, 5, 20)] == "Tweede Pinksterdag"
+
+
+def test_builtin_registry_has_ten_entries():
+    from pytimetk_ray.ops.holiday import _BUILTIN_CALENDARS
+
+    assert set(_BUILTIN_CALENDARS) == {
+        "US", "UK", "GB", "DE", "FR", "CA", "AU", "ES", "IT", "NL"}
