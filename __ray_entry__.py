@@ -1268,6 +1268,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_lines(_docs(sf_dir).select_columns(["doc_id", "text"]),
                            words_per_line=8, min_count=2, keep="first")
 
+    def m4_downsample_q(sf_dir):
+        from pytimetk_ray.ops.downsample import m4_downsample
+
+        ev = rd.read_parquet(os.path.join(sf_dir, _EV),
+                             columns=["event_id", "user_id", "ts", "value"])
+        # weekly pixel-buckets: ~2.5 events/(user,day) makes hourly buckets
+        # trivially full — weeks give a real 4-points-per-bucket reduction
+        return m4_downsample(ev, ["user_id"], "ts", "value", freq="1W",
+                             tie_breaker="event_id")
+
+    def lttb_downsample_q(sf_dir):
+        from pytimetk_ray.ops.downsample import lttb_downsample
+
+        ev = rd.read_parquet(os.path.join(sf_dir, _EV),
+                             columns=["event_id", "user_id", "ts", "value"])
+
+        # exact-parity input surface: y = floor(value) — integer-valued
+        # doubles sum exactly in any order, so bucket centroids (and thus
+        # every triangle area) are bit-identical across engines.  The op
+        # itself runs on raw doubles; this query quantizes ONLY so the SQL
+        # oracle's float summation order cannot flip an argmax.
+        def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["event_id", "user_id", "ts"]].copy()
+            out["value_f"] = np.floor(batch["value"].to_numpy())
+            return out
+
+        return lttb_downsample(ev.map_batches(quantize, batch_format="pandas"),
+                               ["user_id"], "ts", "value_f", n_out=20)
+
     def quantile_sketch_q(sf_dir):
         # mergeable KLL sketch (kernels/sketch.py): bounded-memory quantiles
         # for continuous columns — rows-only by nature (eps-rank approximate;
@@ -1367,10 +1396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "floor_ceil_dates": floor_ceil_dates,
         "filter_by_time_month": filter_by_time_month,
         "future_frame_bind": future_frame_bind,
-        "drop_zero_variance": drop_zero_variance_q,
         "rolling_apply": rolling_apply,
         "expanding_apply": expanding_apply,
-        "week_of_month": week_of_month,
+        "m4_downsample": m4_downsample_q,
+        "lttb_downsample": lttb_downsample_q,
         "dedup_lines": dedup_lines_q,
         "sample_stratified": sample_stratified_q,
         "decontaminate_bloom": decontaminate_bloom,
@@ -1386,6 +1415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- plus trivial driver-side sequence generators ---
         "doc_hash_sample": doc_hash_sample,
         "quality_quantile_filter": quality_quantile_filter,
+        "week_of_month": week_of_month,
+        "drop_zero_variance": drop_zero_variance_q,
         "quantile_sketch": quantile_sketch_q,
         "doc_stop_ratio": doc_stop_ratio,
         "weekday_sequence": weekday_sequence,
@@ -1921,6 +1952,85 @@ def oracle_sql() -> dict[str, str]:
                    s.ts AS ts_r, s.value AS value_r
             FROM events e ASOF LEFT JOIN snap s
                  ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+
+        # M4 downsampling (Jugel et al. VLDB 2014): per (user, week-bucket)
+        # the rows achieving first/last time and min/max value survive; all
+        # four elections share the (value, ts, event_id) total order
+        # (weekly buckets — see the query comment)
+        "m4_downsample": """
+            WITH b AS (
+                SELECT event_id, user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                           ORDER BY ts, event_id) AS rn_first,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_last,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                           ORDER BY value ASC, ts, event_id) AS rn_min,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                           ORDER BY value DESC, ts, event_id) AS rn_max
+                FROM events)
+            SELECT event_id, user_id, ts, value FROM b
+            WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1
+        """,
+
+        # LTTB (Steinarsson 2013) as a recursive CTE: the per-bucket argmax
+        # chain is a recursion over bucket index with a window row_number
+        # for exact (area DESC, rk ASC) tie-breaking.  Inputs are quantized
+        # (y = floor(value)) and x is the µs offset from the group min, so
+        # every centroid sum is exactly representable and the triangle
+        # arithmetic — identical expression text — is bit-equal across
+        # engines.  n_out = 20, m = 18 interior buckets; groups with
+        # n <= 20 pass through whole.
+        "lttb_downsample": """
+            WITH RECURSIVE base AS MATERIALIZED (
+                SELECT event_id, user_id AS g, ts,
+                       floor(value) AS value_f,
+                       CAST(epoch_us(ts) - min(epoch_us(ts))
+                            OVER (PARTITION BY user_id) AS DOUBLE) AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rk,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            pts AS MATERIALIZED (
+                SELECT *, ((rk - 1) * 18 - 1) // (n - 2) AS k
+                FROM base WHERE n > 20 AND rk >= 2 AND rk <= n - 1),
+            cent AS MATERIALIZED (
+                SELECT g, k, sum(x) / count(*) AS cx,
+                       sum(value_f) / count(*) AS cy
+                FROM pts GROUP BY g, k),
+            lastp AS MATERIALIZED (
+                SELECT g, CAST(18 AS BIGINT) AS k, x AS cx, value_f AS cy
+                FROM base WHERE n > 20 AND rk = n),
+            cnext AS MATERIALIZED (
+                SELECT * FROM cent UNION ALL SELECT * FROM lastp),
+            rec AS (
+                SELECT g, 0 AS k, CAST(1 AS BIGINT) AS sel,
+                       x AS ax, value_f AS ay
+                FROM base WHERE n > 20 AND rk = 1
+                UNION ALL
+                SELECT g, k, sel, ax, ay FROM (
+                    SELECT p.g AS g, r.k + 1 AS k, p.rk AS sel,
+                           p.x AS ax, p.value_f AS ay,
+                           row_number() OVER (PARTITION BY p.g ORDER BY
+                               abs((r.ax - c.cx) * (p.value_f - r.ay)
+                                   - (r.ax - p.x) * (c.cy - r.ay)) DESC,
+                               p.rk ASC) AS rn
+                    FROM rec r
+                    JOIN pts p ON p.g = r.g AND p.k = r.k
+                    JOIN cnext c ON c.g = r.g AND c.k = r.k + 1
+                    WHERE r.k < 18
+                ) WHERE rn = 1),
+            keep AS (
+                SELECT g, sel AS rk FROM rec WHERE k > 0
+                UNION ALL
+                SELECT DISTINCT g, CAST(1 AS BIGINT) FROM base WHERE n > 20
+                UNION ALL
+                SELECT DISTINCT g, n FROM base WHERE n > 20)
+            SELECT b.event_id, b.g AS user_id, b.ts, b.value_f
+            FROM base b JOIN keep kp ON b.g = kp.g AND b.rk = kp.rk
+            UNION ALL
+            SELECT event_id, g, ts, value_f FROM base WHERE n <= 20
         """,
 
         # C4-style corpus line dedup (pipelines/linedup.dedup_lines):
