@@ -1268,6 +1268,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_lines(_docs(sf_dir).select_columns(["doc_id", "text"]),
                            words_per_line=8, min_count=2, keep="first")
 
+    def gopher_rules_q(sf_dir):
+        from pytimetk_ray.pipelines.text_analysis import gopher_rules
+
+        # min_stop_words=1: the synthetic vocabulary carries one of the 8
+        # Gopher required stop words, so at the published 2 the flag would
+        # be constant-False; word-count/ratio thresholds still bite
+        return gopher_rules(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                            min_stop_words=1)
+
     def m4_downsample_q(sf_dir):
         from pytimetk_ray.ops.downsample import m4_downsample
 
@@ -1397,7 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_by_time_month": filter_by_time_month,
         "future_frame_bind": future_frame_bind,
         "rolling_apply": rolling_apply,
-        "expanding_apply": expanding_apply,
+        "gopher_rules": gopher_rules_q,
         "m4_downsample": m4_downsample_q,
         "lttb_downsample": lttb_downsample_q,
         "dedup_lines": dedup_lines_q,
@@ -1417,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_quantile_filter": quality_quantile_filter,
         "week_of_month": week_of_month,
         "drop_zero_variance": drop_zero_variance_q,
+        "expanding_apply": expanding_apply,
         "quantile_sketch": quantile_sketch_q,
         "doc_stop_ratio": doc_stop_ratio,
         "weekday_sequence": weekday_sequence,
@@ -1952,6 +1962,54 @@ def oracle_sql() -> dict[str, str]:
                    s.ts AS ts_r, s.value AS value_r
             FROM events e ASOF LEFT JOIN snap s
                  ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+
+        # Gopher quality rules (Rae et al. 2021 App. A): every signal is a
+        # count/ratio of identically-computed integers — compared UNROUNDED;
+        # tokens are the shared \S+ surface, '...' counted non-overlapping
+        # (replace-based == str.count), alpha = the same '[A-Za-z]' regex
+        "gopher_rules": r"""
+            WITH t AS (
+                SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ws,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(ws) AS n_words,
+                       coalesce(list_aggregate(
+                           list_transform(ws, w -> length(w)), 'sum'), 0)
+                           AS sum_wlen,
+                       len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                       (length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '...', '')))
+                           // 3 AS n_sym,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines, l -> l LIKE '-%'
+                           OR l LIKE '*%' OR l LIKE '•%')) AS n_bullet,
+                       len(list_filter(lines, l -> l LIKE '%...')) AS n_ellip,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(
+                               list_transform(ws, w -> lower(w)), s)))
+                           AS n_stop
+                FROM t)
+            SELECT doc_id, n_words,
+                   CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+                   CAST(n_sym AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+                   CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) AS bullet_ratio,
+                   CAST(n_ellip AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_ratio,
+                   CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) AS alpha_ratio,
+                   n_stop AS n_stop_words,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1) >= 3.0
+                    AND CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1) <= 10.0
+                    AND CAST(n_sym AS DOUBLE) / greatest(n_words, 1) < 0.1
+                    AND CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) < 0.9
+                    AND CAST(n_ellip AS DOUBLE) / greatest(n_lines, 1) < 0.3
+                    AND CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) >= 0.8
+                    AND n_stop >= 1) AS keep
+            FROM m
         """,
 
         # M4 downsampling (Jugel et al. VLDB 2014): per (user, week-bucket)

@@ -177,6 +177,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         tds, ["conv_id"], ["turn_idx"], "value", window_func="mean", alpha=0.2,
         num_partitions=2 * num_cpus,
     ).count())
+    from pytimetk_ray.ops.downsample import lttb_downsample, m4_downsample
+
+    timed_best2("m4_downsample", lambda: m4_downsample(
+        tds, ["conv_id"], "ts", "value", freq="1h",
+        num_partitions=2 * num_cpus,
+    ).count())
+    timed_best2("lttb_downsample", lambda: lttb_downsample(
+        tds, ["conv_id"], "ts", "value", n_out=20,
+        num_partitions=2 * num_cpus,
+    ).count())
 
     # --- driver testdata suite ---------------------------------------------
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
@@ -187,6 +197,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     timed_best2("dedup_exact", lambda: exact_dedup(docs).count())
     timed_best2("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    from pytimetk_ray.pipelines.linedup import dedup_lines
+
+    timed_best2("dedup_lines", lambda: dedup_lines(
+        docs.select_columns(["doc_id", "text"]), words_per_line=8,
+    ).count())
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     import pandas as pd
     import numpy as np

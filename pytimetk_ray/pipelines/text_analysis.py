@@ -60,3 +60,89 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A — public heuristics).  All are
+# ratios/counts of identically-computed integers, so the SQL oracle
+# compares them UNROUNDED (CLAUDE.md tie taxonomy).
+GOPHER_DEFAULTS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_ratio=0.1,       # '#' or '...' per word
+    max_bullet_ratio=0.9,       # lines starting with a bullet
+    max_ellipsis_ratio=0.3,     # lines ending with '...'
+    min_alpha_ratio=0.8,        # words containing >= 1 alphabetic char
+    min_stop_words=2,           # of the 8 Gopher required stop words
+)
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLETS = ("-", "*", "•")
+
+
+def gopher_rules(ds: rd.Dataset, *, id_column: str = "doc_id",
+                 text_column: str = "text", **thresholds) -> rd.Dataset:
+    """Gopher repetition-free quality rules as a stateless projection.
+
+    Emits the per-document rule inputs (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alphabetic-word ratio, required-stop-word
+    count) plus the composite ``keep`` flag.  Tokens are ``\\S+`` (the
+    engine's whitespace-token surface, shared with the SQL oracle); '...'
+    occurrences are counted non-overlapping left-to-right (``str.count`` ==
+    replace-based SQL counting).  No shuffle; streams at any scale."""
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    import re
+
+    import numpy as np
+
+    # ASCII-alpha on purpose: the SQL oracle's '[A-Za-z]' and this regex are
+    # the same predicate on any input (str.isalpha would be Unicode-wider)
+    alpha_re = re.compile(r"[A-Za-z]")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy()
+        n = len(batch)
+        n_words = np.zeros(n, dtype=np.int64)
+        sum_wlen = np.zeros(n, dtype=np.int64)
+        n_alpha = np.zeros(n, dtype=np.int64)
+        n_sym = np.zeros(n, dtype=np.int64)
+        n_lines = np.zeros(n, dtype=np.int64)
+        n_bullet = np.zeros(n, dtype=np.int64)
+        n_ellip = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(batch[text_column].tolist()):
+            t = t or ""
+            ws = tx._TOKEN_RE.findall(t)
+            n_words[i] = len(ws)
+            sum_wlen[i] = sum(len(w) for w in ws)
+            n_alpha[i] = sum(alpha_re.search(w) is not None for w in ws)
+            n_sym[i] = t.count("#") + t.count("...")
+            lines = t.split("\n")
+            n_lines[i] = len(lines)
+            n_bullet[i] = sum(l.startswith(_BULLETS) for l in lines)
+            n_ellip[i] = sum(l.endswith("...") for l in lines)
+            lower = {w.lower() for w in ws}
+            n_stop[i] = sum(s in lower for s in _GOPHER_STOPS)
+        nw = np.maximum(n_words, 1)
+        mean_wlen = sum_wlen / nw
+        symbol_ratio = n_sym / nw
+        bullet_ratio = n_bullet / np.maximum(n_lines, 1)
+        ellipsis_ratio = n_ellip / np.maximum(n_lines, 1)
+        alpha_ratio = n_alpha / nw
+        keep = ((n_words >= th["min_words"]) & (n_words <= th["max_words"])
+                & (mean_wlen >= th["min_mean_word_len"])
+                & (mean_wlen <= th["max_mean_word_len"])
+                & (symbol_ratio < th["max_symbol_ratio"])
+                & (bullet_ratio < th["max_bullet_ratio"])
+                & (ellipsis_ratio < th["max_ellipsis_ratio"])
+                & (alpha_ratio >= th["min_alpha_ratio"])
+                & (n_stop >= th["min_stop_words"]))
+        return pd.DataFrame({
+            id_column: ids, "n_words": n_words,
+            "mean_word_len": mean_wlen, "symbol_ratio": symbol_ratio,
+            "bullet_ratio": bullet_ratio, "ellipsis_ratio": ellipsis_ratio,
+            "alpha_ratio": alpha_ratio, "n_stop_words": n_stop,
+            "keep": keep,
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -139,3 +139,32 @@ def test_lttb_preserves_spike():
     out = (lttb_downsample(rd.from_pandas(df), ["g"], "ts", "value",
                            n_out=30, num_partitions=2).to_pandas())
     assert 80.0 in out["value"].values
+
+
+def test_gopher_rules_thresholds():
+    from pytimetk_ray.pipelines.text_analysis import gopher_rules
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps with energy " * 10,   # good doc
+            "short text",                                    # too few words
+            "# " * 60 + "the end with that",                 # symbol-heavy
+            "\n".join("- bullet item the with" for _ in range(10)),  # bullets
+            "a " * 80,                                       # mean wlen < 3
+        ],
+    })
+    out = (gopher_rules(rd.from_pandas(docs), min_stop_words=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"])          # n_words < 50
+    assert not bool(out.loc[2, "keep"])          # symbol_ratio >= 0.1
+    assert out.loc[2, "symbol_ratio"] >= 0.1
+    assert not bool(out.loc[3, "keep"])          # bullet_ratio = 1.0 >= 0.9
+    assert out.loc[3, "bullet_ratio"] == 1.0
+    assert not bool(out.loc[4, "keep"])          # mean word length too small
+    assert out.loc[4, "mean_word_len"] < 3.0
+    # signal columns are exact rationals of the underlying counts
+    assert out.loc[0, "n_words"] == 70
+    assert out.loc[0, "alpha_ratio"] == 1.0
+    assert out.loc[0, "n_stop_words"] == 2       # 'the' + 'with'
