@@ -31,6 +31,78 @@ def _events(sf_dir: str):
     return rd.read_parquet(os.path.join(sf_dir, _EV))
 
 
+def _kmeans_cte(k: int = 8, iters: int = 3, bits: int = 10, d: int = 64) -> str:
+    """WITH-chain reproducing pipelines/clustering.kmeans_embed bit-exactly
+    (see that module's docstring for the dyadic-exactness argument): q =
+    quantized embeddings, c0 = K-smallest-id seeds, per iteration a{i} =
+    argmin assignment (ORDER BY dist, cluster == np.argmin first-min) and
+    c{i} = COALESCE(sum/count, previous) centroids, af = final assignment.
+    The squared-distance chain is left-associated in dim order — the same
+    accumulation order as clustering._dists_dimseq."""
+    s = float(1 << bits)
+    ecols = ", ".join(
+        f"floor(CAST(embedding[{j+1}] AS DOUBLE)*{s})/{s} AS e{j}"
+        for j in range(d))
+    mcols = ", ".join(f"e{j} AS m{j}" for j in range(d))
+    dist = " + ".join(f"(q.e{j}-c.m{j})*(q.e{j}-c.m{j})" for j in range(d))
+    sums = ", ".join(f"SUM(e{j}) AS s{j}" for j in range(d))
+    upd = ", ".join(f"COALESCE(s.s{j}/s.n, p.m{j}) AS m{j}" for j in range(d))
+    parts = [f"""q AS MATERIALIZED (
+  SELECT vec_id, {ecols} FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1) AS cluster, {mcols}
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{i-1} c) WHERE rn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT cluster, COUNT(*) AS n, {sums}
+  FROM q JOIN a{i} USING (vec_id) GROUP BY cluster
+),
+c{i} AS MATERIALIZED (
+  SELECT p.cluster, {upd} FROM c{i-1} p LEFT JOIN s{i} s USING (cluster)
+)""")
+    parts.append(f"""af AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{iters} c) WHERE rn = 1
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _semdedup_sql(tau: float, k: int = 8, iters: int = 3, bits: int = 10,
+                  d: int = 64) -> str:
+    """kmeans CTEs + within-cluster greedy prune: keep=0 iff a smaller-id
+    vector in the same cluster has cosine >= tau.  dot and squared norms are
+    EXACT over the dyadic values (order-free), so the cosine is bit-equal to
+    the engine's and compared UNROUNDED."""
+    dot = " + ".join(f"a.e{j}*b.e{j}" for j in range(d))
+    nrm = " + ".join(f"e{j}*e{j}" for j in range(d))
+    return _kmeans_cte(k, iters, bits, d) + f""",
+nq AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, q.*, ({nrm}) AS nrm
+  FROM af a JOIN q USING (vec_id)
+),
+hits AS (
+  SELECT DISTINCT a.vec_id FROM nq a JOIN nq b
+    ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+   AND ({dot}) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {tau!r}
+)
+SELECT n.vec_id, n.cluster,
+       CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM nq n LEFT JOIN hits h USING (vec_id)
+"""
+
+
 def _round_cols(ds, cols, digits=6):
     """Round float columns (both sides of the oracle compare round to the
     same digits) and convert NaN -> null (SQL semantics for hashing)."""
@@ -609,6 +681,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "any band's bucket matches" with the same inlined planes
         return embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.2,
                                        nbits=2, bands=2, round_digits=6)
+
+    def kmeans_embed_q(sf_dir):
+        # distributed Lloyd's k-means: one combiner map_batches pass +
+        # K-row reduce per iteration, centroids broadcast, zero data
+        # shuffle; dyadic quantization makes every sum exact so the
+        # generated per-iteration CTE oracle is BIT-equal (clustering.py
+        # module docstring has the proof sketch)
+        from pytimetk_ray.pipelines.clustering import kmeans_embed
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return kmeans_embed(emb, k=8, iters=3, quantize_bits=10)
+
+    def semdedup_q(sf_dir):
+        # SemDeDup (Abbas et al. 2023): cluster, then greedy within-cluster
+        # cosine prune (drop iff a smaller-id clustermate has cos >= tau).
+        # Exact dyadic dots/norms -> cosine compared UNROUNDED vs SQL.
+        from pytimetk_ray.pipelines.clustering import semdedup
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return semdedup(emb, k=8, iters=3, tau=0.35, quantize_bits=10)
 
     def multimodal_decode(sf_dir):
         # rows-only: binary media columns through the actor-pool decode stage
@@ -1418,6 +1512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof": join_asof,
         "pii_redact": pii_redact,
         "tfidf_topk": tfidf_topk_q,
+        "kmeans_embed": kmeans_embed_q,
+        "semdedup": semdedup_q,
+        # --- end of the 50-slot driver window ---
         "conv_stats": conv_stats,
         "conv_windows": conv_windows,
         # --- driver-verified green in r01/r02 (or rows-only by nature),
@@ -4033,6 +4130,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rn >= 27 THEN adx END AS value_adx_14
             FROM rr
         """,
+        # programmatically generated Lloyd-iteration CTE chains; bit-parity
+        # argument in pipelines/clustering.py's module docstring
+        "kmeans_embed": _kmeans_cte() + "\nSELECT vec_id, cluster FROM af",
+        "semdedup": _semdedup_sql(0.35),
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
