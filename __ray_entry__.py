@@ -609,6 +609,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(unigram_logprob(_docs(sf_dir), vocab_size=256),
                            ["logprob"])
 
+    def doc_bigram_logprob(sf_dir):
+        # CCNet-shaped bigram LM score: top-V vocab broadcast, ONE tokenize
+        # pass, bigram-count table joined (never broadcast), per-doc reduce
+        from pytimetk_ray.pipelines.corpus import bigram_logprob
+
+        return _round_cols(bigram_logprob(_docs(sf_dir), vocab_size=64),
+                           ["logprob"])
+
     def dedup_jaccard(sf_dir):
         # exact all-pairs word-3-shingle Jaccard via distributed inverted
         # index; unrounded p/q doubles are engine-bit-identical
@@ -1510,11 +1518,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": join_broadcast,
         "join_hash": join_hash,
         "join_asof": join_asof,
-        "pii_redact": pii_redact,
         "tfidf_topk": tfidf_topk_q,
         "kmeans_embed": kmeans_embed_q,
         "semdedup": semdedup_q,
+        "doc_bigram_logprob": doc_bigram_logprob,
         # --- end of the 50-slot driver window ---
+        "pii_redact": pii_redact,
         "conv_stats": conv_stats,
         "conv_windows": conv_windows,
         # --- driver-verified green in r01/r02 (or rows-only by nature),
@@ -2708,6 +2717,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id
         """,
 
+        # add-one-smoothed bigram LM over the top-64 mapped vocab; the ln
+        # sums are order-dependent only at the last ulp — ROUND 6 on both
+        # sides (same contract as doc_unigram_logprob)
+        "doc_bigram_logprob": r"""
+            WITH w AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            topv AS MATERIALIZED (
+                SELECT token FROM cnts ORDER BY cnt DESC, token LIMIT 64),
+            bg AS MATERIALIZED (
+                SELECT doc_id,
+                       COALESCE(t1.token, '<unk>') AS w1,
+                       COALESCE(t2.token, '<unk>') AS w2
+                FROM (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+                      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+                      WHERE len(ws) >= 2) p
+                LEFT JOIN topv t1 ON t1.token = p.a
+                LEFT JOIN topv t2 ON t2.token = p.b
+            ),
+            bc AS MATERIALIZED (
+                SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+            c1 AS MATERIALIZED (
+                SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+            dk AS (SELECT doc_id, w1, w2, COUNT(*) AS k
+                   FROM bg GROUP BY doc_id, w1, w2)
+            SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(k * ln((bc.c12 + 1.0) / (c1.c1 + 65.0)))
+                         / SUM(k), 6) AS logprob
+            FROM dk JOIN bc USING (w1, w2) JOIN c1 USING (w1)
+            GROUP BY dk.doc_id
+        """,
         "doc_token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS token_count
             FROM documents

@@ -437,6 +437,115 @@ def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
                           concurrency=concurrency)
 
 
+def bigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
+                   text_column: str = "text", vocab_size: int = 64,
+                   num_partitions: int = CORPUS_PARTITIONS,
+                   concurrency: int = 2) -> rd.Dataset:
+    """CCNet-style bigram LM quality score (Wenzek et al. 2020 use a KenLM
+    5-gram; the distributed SHAPE is the same): per-doc mean
+    ln p(w2|w1) with add-one smoothing over the top-V mapped vocabulary,
+    p(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V+1), OOV tokens mapped to '<unk>'.
+
+    Scale story — the bigram table is NEVER broadcast (it grows ~V^2 /
+    corpus-bounded, unlike the V-row unigram table):
+      1. top-V vocab: distributed partial counts -> V rows broadcast.
+      2. ONE tokenize pass emits per-doc mapped-bigram counts
+         (doc, w1, w2, k) — each doc is a single row, so the per-batch
+         partial is already the exact per-doc count.
+      3. global counts bc(w1,w2) reduce FROM those partials (no second
+         tokenize); c1(w1) = sum of bc over w2 — <= V+1 rows, broadcast.
+      4. doc partials co-partition-JOIN bc on (w1,w2) (ops/joins.hash_join),
+         then a per-doc keyed reduce: logprob = sum(k*ln p)/sum(k).
+    Docs with < 2 tokens have no bigrams and are dropped (mirrors the SQL
+    expansion).  Output (doc_id, n_bigrams, logprob) — logprob rounded by
+    the caller; ln sums are order-dependent at the last-ulp level only.
+    """
+    from pytimetk_ray.ops.joins import hash_join
+
+    vocab = set(vocab_topk(ds, text_column=text_column, top_n=vocab_size,
+                           num_partitions=num_partitions)
+                .to_pandas()["token"])
+    vocab_ref = ray.put(vocab)
+
+    class BigramPartial:
+        def __init__(self, ref):
+            self.vocab = ref if isinstance(ref, set) else ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, w1s, w2s, ks = [], [], [], []
+            for i, t in zip(batch[id_column], batch[text_column]):
+                words = tx._WORD_RE.findall((t or "").lower())
+                if len(words) < 2:
+                    continue
+                mapped = [w if w in self.vocab else "<unk>" for w in words]
+                cnt: dict[tuple[str, str], int] = {}
+                for a, b in zip(mapped, mapped[1:]):
+                    cnt[(a, b)] = cnt.get((a, b), 0) + 1
+                for (a, b), k in cnt.items():
+                    ids.append(i); w1s.append(a); w2s.append(b); ks.append(k)
+            return pd.DataFrame({
+                id_column: np.array(ids, dtype=np.int64),
+                "w1": pd.Series(w1s, dtype=object),
+                "w2": pd.Series(w2s, dtype=object),
+                "k": np.array(ks, dtype=np.int64)})
+
+    dk = ds.map_batches(BigramPartial, fn_constructor_kwargs=dict(ref=vocab_ref),
+                        batch_format="pandas", batch_size=4096,
+                        concurrency=concurrency).materialize()
+
+    def reduce_bc(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["w1", "w2"], as_index=False, sort=False)["k"].sum()
+        return g.rename(columns={"k": "c12"})
+
+    bc = partitioned_group_map(
+        dk.select_columns(["w1", "w2", "k"]), ["w1", "w2"], reduce_bc,
+        sort_by=["w1", "w2"], num_partitions=num_partitions).materialize()
+
+    # c1(w1) = sum of c12 over w2: <= V+1 rows -> driver-side dict broadcast
+    def reduce_c1(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby("w1", as_index=False, sort=False)["c12"].sum()
+                .rename(columns={"c12": "c1"}))
+
+    c1_pdf = partitioned_group_map(
+        bc, ["w1"], reduce_c1, sort_by=["w1"],
+        num_partitions=num_partitions).to_pandas()
+    c1 = dict(zip(c1_pdf["w1"], c1_pdf["c1"].astype(np.int64)))
+    c1_ref = ray.put(c1)
+    denom_add = float(vocab_size + 1)
+
+    joined = hash_join(dk, bc, left_on=["w1", "w2"],
+                       num_partitions=num_partitions)
+
+    class Term:
+        def __init__(self, ref):
+            self.c1 = ref if isinstance(ref, dict) else ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            c1v = np.fromiter((self.c1[w] for w in batch["w1"]),
+                              dtype=np.float64, count=len(batch))
+            p = (batch["c12"].to_numpy(np.float64) + 1.0) / (c1v + denom_add)
+            k = batch["k"].to_numpy(np.float64)
+            return pd.DataFrame({id_column: batch[id_column],
+                                 "k": batch["k"],
+                                 "term": k * np.log(p)})
+
+    terms = joined.map_batches(Term, fn_constructor_kwargs=dict(ref=c1_ref),
+                               batch_format="pandas", batch_size=None,
+                               concurrency=concurrency)
+
+    def reduce_doc(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(id_column, sort=False)
+        n = g["k"].sum()
+        s = g["term"].sum()
+        return pd.DataFrame({id_column: n.index.to_numpy(),
+                             "n_bigrams": n.to_numpy(np.int64),
+                             "logprob": (s / n).to_numpy(np.float64)})
+
+    return partitioned_group_map(terms, [id_column], reduce_doc,
+                                 sort_by=[id_column],
+                                 num_partitions=num_partitions)
+
+
 # --- Bloom-filter decontamination (space-bounded broadcast variant) ---------
 
 _BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 increment

@@ -153,6 +153,41 @@ def test_unigram_logprob_matches_local(docs_df):
         assert abs(got.loc[did, "logprob"] - exp) < 1e-9
 
 
+def test_bigram_logprob_matches_local(docs_df):
+    from collections import Counter
+
+    from pytimetk_ray.pipelines.corpus import bigram_logprob
+
+    V = 32
+    out = (bigram_logprob(rd.from_pandas(docs_df), vocab_size=V,
+                          num_partitions=4)
+           .to_pandas().set_index("doc_id"))
+    words_per_doc = {
+        int(i): tx._WORD_RE.findall((t or "").lower())
+        for i, t in zip(docs_df["doc_id"], docs_df["text"])
+    }
+    all_words = [w for ws in words_per_doc.values() for w in ws]
+    vc = pd.Series(all_words).value_counts()
+    vocab = set(vc.rename_axis("token").reset_index(name="cnt")
+                .sort_values(["cnt", "token"], ascending=[False, True],
+                             kind="mergesort").head(V)["token"])
+    mapped = {d: [w if w in vocab else "<unk>" for w in ws]
+              for d, ws in words_per_doc.items()}
+    bc = Counter((a, b) for ws in mapped.values()
+                 for a, b in zip(ws, ws[1:]))
+    c1 = Counter()
+    for (a, _), c in bc.items():
+        c1[a] += c
+    for did, ws in list(mapped.items())[:50]:
+        if len(ws) < 2:
+            assert did not in out.index
+            continue
+        terms = [np.log((bc[(a, b)] + 1.0) / (c1[a] + V + 1.0))
+                 for a, b in zip(ws, ws[1:])]
+        assert out.loc[did, "n_bigrams"] == len(ws) - 1
+        assert abs(out.loc[did, "logprob"] - np.mean(terms)) < 1e-9
+
+
 def test_bloom_contamination_matches_exact():
     from pytimetk_ray.pipelines.corpus import (bloom_contamination,
                                                cross_split_contamination)
