@@ -103,6 +103,76 @@ FROM nq n LEFT JOIN hits h USING (vec_id)
 """
 
 
+def _pq_topk_sql(kk: int = 5, nq: int = 4, m: int = 8, ksub: int = 16,
+                 iters: int = 2, bits: int = 10, d: int = 64) -> str:
+    """Product-quantization ADC top-k oracle, fully data-derived: M
+    independent per-subspace Lloyd chains (same construction as
+    _kmeans_cte, dims sliced), per-vector codes = per-subspace argmin,
+    queries = the nq smallest-id vectors, dist = the per-subspace
+    parenthesized distance chains summed subspace-sequentially — the exact
+    association order of clustering.pq_topk's table-gather accumulation,
+    so dist is compared UNROUNDED."""
+    s = float(1 << bits)
+    dsub = d // m
+    ecols = ", ".join(
+        f"floor(CAST(embedding[{j+1}] AS DOUBLE)*{s})/{s} AS e{j}"
+        for j in range(d))
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {ecols} FROM embeddings)",
+        f"""seed AS MATERIALIZED (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY vec_id) - 1) AS rn
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {ksub}))""",
+        f"qv AS MATERIALIZED (SELECT * FROM q ORDER BY vec_id LIMIT {nq})",
+    ]
+    for mi in range(m):
+        off = mi * dsub
+        mcols = ", ".join(f"e{off+j} AS m{j}" for j in range(dsub))
+        dist = " + ".join(f"(q.e{off+j}-c.m{j})*(q.e{off+j}-c.m{j})"
+                          for j in range(dsub))
+        sums = ", ".join(f"SUM(e{off+j}) AS s{j}" for j in range(dsub))
+        upd = ", ".join(f"COALESCE(s.s{j}/s.n, p.m{j}) AS m{j}"
+                        for j in range(dsub))
+        parts.append(f"c{mi}_0 AS MATERIALIZED "
+                     f"(SELECT rn AS cluster, {mcols} FROM seed)")
+        for i in range(1, iters + 1):
+            parts.append(f"""a{mi}_{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{mi}_{i-1} c) WHERE rn = 1),
+s{mi}_{i} AS MATERIALIZED (
+  SELECT cluster, COUNT(*) AS n, {sums}
+  FROM q JOIN a{mi}_{i} USING (vec_id) GROUP BY cluster),
+c{mi}_{i} AS MATERIALIZED (
+  SELECT p.cluster, {upd}
+  FROM c{mi}_{i-1} p LEFT JOIN s{mi}_{i} s USING (cluster))""")
+        parts.append(f"""k{mi} AS MATERIALIZED (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT q.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q CROSS JOIN c{mi}_{iters} c) WHERE rn = 1)""")
+    adc = " + ".join(
+        "(" + " + ".join(
+            f"(qv.e{mi*dsub+j}-b{mi}.m{j})*(qv.e{mi*dsub+j}-b{mi}.m{j})"
+            for j in range(dsub)) + ")"
+        for mi in range(m))
+    code_joins = " ".join(f"JOIN k{mi} ON k{mi}.vec_id = k0.vec_id"
+                          for mi in range(1, m))
+    book_joins = " ".join(
+        f"JOIN c{mi}_{iters} b{mi} ON b{mi}.cluster = k{mi}.code"
+        for mi in range(m))
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, vec_id, dist FROM (
+  SELECT qv.vec_id AS query_id, k0.vec_id AS vec_id, ({adc}) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                            ORDER BY ({adc}), k0.vec_id) AS rn
+  FROM qv CROSS JOIN k0 {code_joins} {book_joins}
+) WHERE rn <= {kk}
+"""
+
+
 def _round_cols(ds, cols, digits=6):
     """Round float columns (both sides of the oracle compare round to the
     same digits) and convert NaN -> null (SQL semantics for hashing)."""
@@ -711,6 +781,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["vec_id", "embedding"])
         return semdedup(emb, k=8, iters=3, tau=0.35, quantize_bits=10)
+
+    def pq_topk_q(sf_dir):
+        # product-quantization ADC top-k: M=8 sub-codebooks trained in the
+        # same pass (one scan + m*ksub-row reduce per Lloyd iteration),
+        # codes are 8 ints per vector, scoring is a per-query lookup-table
+        # gather; dist is bit-deterministic -> compared UNROUNDED
+        from pytimetk_ray.pipelines.clustering import pq_topk
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return pq_topk(emb, k=5, n_queries=4, m=8, ksub=16, iters=2,
+                       quantize_bits=10)
 
     def multimodal_decode(sf_dir):
         # rows-only: binary media columns through the actor-pool decode stage
@@ -1518,11 +1600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": join_broadcast,
         "join_hash": join_hash,
         "join_asof": join_asof,
-        "tfidf_topk": tfidf_topk_q,
         "kmeans_embed": kmeans_embed_q,
         "semdedup": semdedup_q,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "pq_topk": pq_topk_q,
         # --- end of the 50-slot driver window ---
+        "tfidf_topk": tfidf_topk_q,
         "pii_redact": pii_redact,
         "conv_stats": conv_stats,
         "conv_windows": conv_windows,
@@ -4177,6 +4260,7 @@ def oracle_sql() -> dict[str, str]:
         # argument in pipelines/clustering.py's module docstring
         "kmeans_embed": _kmeans_cte() + "\nSELECT vec_id, cluster FROM af",
         "semdedup": _semdedup_sql(0.35),
+        "pq_topk": _pq_topk_sql(),
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -239,3 +239,203 @@ def semdedup(
     return partitioned_group_map(
         tagged, ["cluster"], prune, sort_by=["cluster", id_column],
         num_partitions=num_partitions)
+
+
+# --- Product quantization (Jégou et al. 2011, "Product quantization for
+# --- nearest neighbor search"): split D dims into M subspaces, k-means each
+# --- subspace, store per-vector codes (M small ints, e.g. 8 bytes instead
+# --- of 512) and score queries with asymmetric distance computation (ADC):
+# --- a per-query M x ksub lookup table, dist = sum of table[m, code_m].
+# --- With dyadic quantization the whole chain (sub-codebooks, codes, ADC
+# --- distances) is bit-deterministic, so the SQL oracle derives the
+# --- codebooks itself via the same per-subspace Lloyd CTEs and compares
+# --- distances UNROUNDED (see __ray_entry__._pq_topk_sql).
+
+def _pq_slices(d: int, m: int):
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [(j * dsub, (j + 1) * dsub) for j in range(m)]
+
+
+def _smallest_rows(ds: rd.Dataset, n: int, id_column: str, vec_column: str,
+                   bits: int | None):
+    """(ids, quantized matrix) of the n smallest-id rows — per-batch
+    candidates, tiny driver resolve (same shape as _seed_centroids)."""
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        if len(ids) > n:
+            idx = np.sort(np.argpartition(ids, n)[:n])
+            return batch.take(pa.array(idx))
+        return batch
+
+    small = ds.map_batches(cand, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True).to_pandas()
+    small = small.nsmallest(n, id_column).sort_values(id_column)
+    if len(small) < n:
+        raise ValueError(f"need {n} rows, have {len(small)}")
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in small[vec_column]])
+    return small[id_column].to_numpy(), quantize_matrix(mat, bits)
+
+
+def pq_train(
+    ds: rd.Dataset,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    quantize_bits: int | None = 10,
+) -> np.ndarray:
+    """Train M sub-codebooks (m, ksub, dsub) — ALL subspaces advance in the
+    same pass, so each Lloyd iteration is still one scan + one tiny keyed
+    reduce (m*ksub rows).  Seeds: the ksub smallest-id rows, sub-sliced."""
+    proj = ds.select_columns([id_column, vec_column]).materialize()
+    _, seed_mat = _smallest_rows(proj, ksub, id_column, vec_column,
+                                 quantize_bits)
+    d = seed_mat.shape[1]
+    slices = _pq_slices(d, m)
+    dsub = d // m
+    books = np.stack([seed_mat[:, a:b] for a, b in slices])  # (m, ksub, dsub)
+    scols = [f"s{j}" for j in range(dsub)]
+
+    for _ in range(iters):
+        cur = books.copy()
+
+        def partial(batch: pa.Table) -> dict:
+            x = quantize_matrix(_arrow_matrix(batch[vec_column]),
+                                quantize_bits)
+            mc = np.repeat(np.arange(m, dtype=np.int64), ksub) * ksub \
+                + np.tile(np.arange(ksub, dtype=np.int64), m)
+            ns = np.zeros(m * ksub, dtype=np.int64)
+            sums = np.zeros((m * ksub, dsub), dtype=np.float64)
+            for mi, (a, b) in enumerate(slices):
+                xs = x[:, a:b]
+                assign = np.argmin(_dists_dimseq(xs, cur[mi]), axis=0)
+                ns[mi * ksub: (mi + 1) * ksub] = np.bincount(
+                    assign, minlength=ksub)
+                for c in np.unique(assign):
+                    sums[mi * ksub + c] = xs[assign == c].sum(axis=0)
+            out = {"mc": mc, "n": ns}
+            for j in range(dsub):
+                out[scols[j]] = sums[:, j]
+            return out
+
+        agg = proj.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True) \
+            .groupby("mc").sum(["n"] + scols).take_all()
+        new = books.copy()
+        for row in agg:
+            mi, c = divmod(int(row["mc"]), ksub)
+            n = row.get("sum(n)", row.get("n"))
+            if n:
+                for j in range(dsub):
+                    s = row.get(f"sum(s{j})", row.get(scols[j]))
+                    new[mi, c, j] = s / n
+        books = new
+    return books
+
+
+def _pq_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes: per-subspace argmin (first-min tie-break)."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for mi in range(m):
+        xs = x[:, mi * dsub: (mi + 1) * dsub]
+        codes[:, mi] = np.argmin(_dists_dimseq(xs, books[mi]), axis=0)
+    return codes
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    books: np.ndarray,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    quantize_bits: int | None = 10,
+) -> rd.Dataset:
+    """(id, k0..k{m-1}) codes — the 64x-smaller searchable representation."""
+    m = books.shape[0]
+
+    def enc(batch: pa.Table) -> dict:
+        x = quantize_matrix(_arrow_matrix(batch[vec_column]), quantize_bits)
+        codes = _pq_codes(x, books)
+        out = {id_column: batch[id_column].to_numpy(zero_copy_only=False)}
+        for mi in range(m):
+            out[f"k{mi}"] = codes[:, mi]
+        return out
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    *,
+    k: int = 5,
+    n_queries: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    quantize_bits: int | None = 10,
+) -> rd.Dataset:
+    """ADC top-k: queries = the n_queries smallest-id vectors (data-derived,
+    so the oracle can reproduce them).  Output (query_id, vec_id, dist),
+    dist UNROUNDED (bit-deterministic), ties by ascending vec_id.
+
+    Per batch: codes via per-subspace argmin, then dist = the per-query
+    lookup-table gather summed subspace-sequentially (left-associated, the
+    same order as the SQL's parenthesized per-subspace chain).  Local exact
+    top-k (boundary ties kept) -> tiny global reduce per query."""
+    proj = ds.select_columns([id_column, vec_column]).materialize()
+    books = pq_train(proj, m=m, ksub=ksub, iters=iters, id_column=id_column,
+                     vec_column=vec_column, quantize_bits=quantize_bits)
+    qids, qmat = _smallest_rows(proj, n_queries, id_column, vec_column,
+                                quantize_bits)
+    dsub = books.shape[2]
+    # (nq, m, ksub) ADC tables, dim-sequential accumulation
+    tables = np.stack([
+        np.stack([_dists_dimseq(qmat[:, mi * dsub: (mi + 1) * dsub],
+                                books[mi])[ci]
+                  for ci in range(ksub)], axis=1)
+        for mi in range(m)], axis=1)
+
+    def score(batch: pa.Table) -> dict:
+        x = quantize_matrix(_arrow_matrix(batch[vec_column]), quantize_bits)
+        codes = _pq_codes(x, books)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(qids)):
+            acc = tables[qi, 0][codes[:, 0]]
+            for mi in range(1, m):
+                acc = acc + tables[qi, mi][codes[:, mi]]
+            n = len(acc)
+            if k >= n:
+                cand = np.arange(n)
+            else:
+                kth = np.partition(acc, k - 1)[k - 1]
+                cand = np.flatnonzero(acc <= kth)  # keep boundary ties
+            order = np.lexsort((ids[cand], acc[cand]))[:k]
+            sel = cand[order]
+            out_q.extend([qids[qi]] * len(sel))
+            out_id.append(ids[sel])
+            out_d.append(acc[sel])
+        return {"query_id": np.asarray(out_q, dtype=qids.dtype),
+                id_column: (np.concatenate(out_id) if out_id
+                            else np.array([], dtype=ids.dtype)),
+                "dist": (np.concatenate(out_d) if out_d
+                         else np.array([], dtype=np.float64))}
+
+    scored = proj.map_batches(score, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", id_column], ascending=[True, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

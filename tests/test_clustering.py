@@ -130,6 +130,46 @@ def test_quantize_matrix_exactness():
     assert quantize_matrix(np.array([[0.3]]), None)[0, 0] == 0.3
 
 
+def test_pq_books_partition_invariant_and_codes_match_reference():
+    ids, x32 = _toy(n=200, d=16, seed=19)
+    from pytimetk_ray.pipelines.clustering import (
+        _dists_dimseq, _pq_codes, pq_encode, pq_train)
+    books1 = pq_train(_ds_of(ids, x32, 1), m=4, ksub=8, iters=2,
+                      quantize_bits=10)
+    books7 = pq_train(_ds_of(ids, x32, 7), m=4, ksub=8, iters=2,
+                      quantize_bits=10)
+    assert (books1 == books7).all()  # exact partial sums -> bit equality
+
+    # reference: independent Lloyd per subspace on the sliced matrix
+    q = quantize_matrix(x32.astype(np.float64), 10)
+    for mi in range(4):
+        sub = q[:, mi * 4:(mi + 1) * 4]
+        _, ref_c = _ref_kmeans(sub, ids, 8, 2)
+        assert (books1[mi] == ref_c).all()
+    codes = (pq_encode(_ds_of(ids, x32, 3), books1, quantize_bits=10)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    ref_codes = _pq_codes(q[np.argsort(ids, kind="stable")], books1)
+    for mi in range(4):
+        assert (codes[f"k{mi}"].to_numpy() == ref_codes[:, mi]).all()
+
+
+def test_pq_topk_orders_by_adc_distance():
+    ids, x32 = _toy(n=150, d=16, seed=23)
+    from pytimetk_ray.pipelines.clustering import pq_topk
+    out = (pq_topk(_ds_of(ids, x32, 4), k=5, n_queries=2, m=4, ksub=8,
+                   iters=2, quantize_bits=10)
+           .to_pandas().sort_values(["query_id", "dist", "vec_id"]))
+    assert set(out["query_id"]) == set(np.sort(ids)[:2])
+    for _, g in out.groupby("query_id"):
+        assert len(g) == 5
+        assert (np.diff(g["dist"].to_numpy()) >= 0).all()
+        assert (g["dist"].to_numpy() >= 0).all()
+    # a query's own code cell should rank it near the top: its ADC distance
+    # is the distance to its own centroids, small by construction
+    top1 = out.groupby("query_id").first()
+    assert (top1["dist"].to_numpy() < np.median(out["dist"].to_numpy())).all()
+
+
 def test_kmeans_k_larger_than_rows_raises():
     ids = np.arange(3, dtype=np.int64)
     x32 = np.zeros((3, 4), dtype=np.float32)
