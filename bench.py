@@ -212,6 +212,24 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(emb_path), q, embq["vec_id"].to_numpy(), k=10
     ).count())
 
+    from pytimetk_ray.pipelines.clustering import pq_topk, semdedup
+
+    timed_best2("semdedup", lambda: semdedup(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        k=8, iters=3, tau=0.35,
+    ).count())
+    timed_best2("pq_topk", lambda: pq_topk(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        k=5, n_queries=4, m=8, ksub=16, iters=2,
+    ).count())
+
+    from pytimetk_ray.pipelines.corpus import bigram_logprob
+
+    timed_best2("bigram_logprob", lambda: bigram_logprob(
+        docs.select_columns(["doc_id", "text"]), vocab_size=64,
+        concurrency=max(num_cpus // 4, 2),
+    ).count())
+
     # --- sf1 row: the 10x memory story (streaming, no OOM) ------------------
     # single run (not best-of-2) over the ~257M-turn chunked corpus; only
     # when the cached corpus already exists (generate with `bench.py --sf1`)
