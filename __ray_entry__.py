@@ -1452,6 +1452,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_lines(_docs(sf_dir).select_columns(["doc_id", "text"]),
                            words_per_line=8, min_count=2, keep="first")
 
+    def dedup_spans_q(sf_dir):
+        from pytimetk_ray.pipelines.spandup import dedup_spans
+
+        # Lee-et-al-style exact duplicate-substring removal: every 8-word
+        # window at every offset; ALL occurrences of duplicated windows go
+        return dedup_spans(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                           window_words=8, min_count=2)
+
+    def dsir_logweight_q(sf_dir):
+        from pytimetk_ray.pipelines.corpus import dsir_logweight
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+        target = docs.filter(expr="lang == 'en'").select_columns(
+            ["doc_id", "text"])
+        return _round_cols(
+            dsir_logweight(docs.select_columns(["doc_id", "text"]), target,
+                           buckets=256),
+            ["logweight"])
+
+    def doc_normalize(sf_dir):
+        from pytimetk_ray.pipelines.text_analysis import normalize_text
+
+        # the synthetic corpus is already single-spaced ASCII (normalize is
+        # the identity on it), so inject deterministic whitespace noise on
+        # even doc_ids — the SAME injection runs in the SQL oracle, making
+        # the compare exercise collapse/trim for real
+        def noisy(batch: pd.DataFrame) -> pd.DataFrame:
+            even = (batch["doc_id"].to_numpy() % 2) == 0
+            t = batch["text"].tolist()
+            batch["text"] = pd.Series(
+                ["\t" + s.replace(" ", "  ") + "\n\n" if e else s
+                 for s, e in zip(t, even)], dtype=object)
+            return batch
+
+        ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+            noisy, batch_format="pandas")
+        return normalize_text(ds)
+
+    def interpolate_linear(sf_dir):
+        from pytimetk_ray.ops.interpolate import interpolate_by_time
+
+        agg = tk.summarize_by_time(
+            _events(sf_dir).select_columns(["user_id", "ts", "value"]),
+            "ts", "value", by=["user_id"], freq="h", agg_func="sum")
+
+        def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+            # round the observed buckets BEFORE interpolation (the oracle
+            # interpolates from identically-rounded inputs)
+            batch["value_sum"] = batch["value_sum"].round(6)
+            return batch
+
+        out = interpolate_by_time(agg.map_batches(rnd, batch_format="pandas"),
+                                  "bucket_ts", "value_sum", freq="h",
+                                  by=["user_id"])
+        # compare UNROUNDED: the fill expression is bit-equal on both sides
+        # (identical expression over identically-rounded inputs), and hour
+        # grids make dyadic fracs (1/2, 1/4) whose midpoints end exactly in
+        # ...5 at every rounding width — rounding would straddle (NOTES_r1
+        # tie taxonomy).  NaN edge gaps -> NULL only.
+        return _nan_to_null(out, ["value_sum"])
+
+    def bpe_tokenize(sf_dir):
+        from pytimetk_ray.pipelines.tokenizer import bpe_train, bpe_token_counts
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        merges = bpe_train(docs, num_merges=60, max_words=5000)
+        return bpe_token_counts(docs, merges)
+
     def gopher_rules_q(sf_dir):
         from pytimetk_ray.pipelines.text_analysis import gopher_rules
 
@@ -1566,17 +1634,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_fip": fin_fip,
         "fin_qsmomentum": fin_qsmomentum,
         "fin_risk": fin_risk,
-        "fin_risk_bench": fin_risk_bench,
-        "fin_risk_log": fin_risk_log,
         "fin_hurst": fin_hurst,
         "fin_adx": fin_adx,
         "holiday_signature": holiday_signature,
-        "holiday_signature_multi": holiday_signature_multi,
         "spline_sql": spline_sql,
         "hilbert_sql": hilbert_sql,
         "wavelet_sql": wavelet_sql,
         "cv_folds": cv_folds,
-        "cv_folds_backward": cv_folds_backward,
         "diag_acf_sql": diag_acf_sql,
         "diag_stl_sql": diag_stl_sql,
         "diag_stl_loess": diag_stl_loess,
@@ -1604,7 +1668,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": semdedup_q,
         "doc_bigram_logprob": doc_bigram_logprob,
         "pq_topk": pq_topk_q,
+        "dedup_spans": dedup_spans_q,
+        "dsir_logweight": dsir_logweight_q,
+        "doc_normalize": doc_normalize,
+        "interpolate_linear": interpolate_linear,
         # --- end of the 50-slot driver window ---
+        "fin_risk_bench": fin_risk_bench,
+        "fin_risk_log": fin_risk_log,
+        "holiday_signature_multi": holiday_signature_multi,
+        "cv_folds_backward": cv_folds_backward,
+        "bpe_tokenize": bpe_tokenize,
         "tfidf_topk": tfidf_topk_q,
         "pii_redact": pii_redact,
         "conv_stats": conv_stats,
@@ -2312,6 +2385,145 @@ def oracle_sql() -> dict[str, str]:
             JOIN nl USING (doc_id)
             LEFT JOIN kept k ON d.doc_id = k.doc_id
             GROUP BY d.doc_id, nl.n_lines
+        """,
+
+        # exact duplicate-SPAN removal (pipelines/spandup.dedup_spans):
+        # 8-word windows at EVERY offset, all occurrences of duplicated
+        # windows marked, covered tokens dropped, text rebuilt.  The oracle
+        # compares reconstructed TEXT, never the engine's window hash.
+        "dedup_spans": """
+            WITH w AS MATERIALIZED (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            win AS MATERIALIZED (
+                SELECT doc_id, i - 1 AS s,
+                       array_to_string(list_slice(ws, i, i + 7), ' ') AS wstr
+                FROM w, UNNEST(range(1, len(ws) - 8 + 2)) AS t(i)
+                WHERE len(ws) >= 8),
+            dup AS (SELECT wstr FROM win GROUP BY wstr HAVING count(*) >= 2),
+            rem AS (SELECT doc_id, s FROM win JOIN dup USING (wstr)),
+            tok AS (SELECT doc_id, unnest(ws) AS word,
+                           generate_subscripts(ws, 1) - 1 AS p FROM w),
+            cov AS (SELECT DISTINCT t.doc_id, t.p
+                    FROM tok t JOIN rem r ON t.doc_id = r.doc_id
+                                          AND t.p BETWEEN r.s AND r.s + 7),
+            kept AS (SELECT t.doc_id, t.p, t.word FROM tok t
+                     LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+                     WHERE c.p IS NULL),
+            nt AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.word, ' ' ORDER BY k.p), '')
+                       AS text_dedup,
+                   nt.n_tokens,
+                   nt.n_tokens - count(k.p) AS n_removed
+            FROM documents d JOIN nt USING (doc_id)
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id, nt.n_tokens
+        """,
+
+        # DSIR importance log-weights (corpus.dsir_logweight): hashed
+        # unigram+bigram buckets (md5_number_lower parity, B=256), add-one
+        # smoothed target(en)/raw log-ratio, per-doc SUM(k*lam).  Identical
+        # ln expression text both sides; ROUND 6 (k*lam sums differ at the
+        # last ulp only — same contract as doc_bigram_logprob).
+        "dsir_logweight": r"""
+            WITH w AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, md5_number_lower(g) % 256 AS b FROM (
+                    SELECT doc_id, unnest(ws) AS g FROM w
+                    UNION ALL
+                    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                    FROM w, UNNEST(range(1, len(ws))) AS t(i)
+                    WHERE len(ws) >= 2)),
+            tc AS (SELECT b, count(*) AS ct FROM g
+                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+            rc AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+            tt AS (SELECT sum(ct) AS t FROM tc),
+            rt AS (SELECT sum(cr) AS t FROM rc),
+            lam AS (
+                SELECT r.b,
+                       ln((coalesce(tc.ct, 0) + 1.0) / ((SELECT t FROM tt) + 256))
+                     - ln((r.cr + 1.0) / ((SELECT t FROM rt) + 256)) AS lam
+                FROM rc r LEFT JOIN tc ON r.b = tc.b),
+            dk AS (SELECT doc_id, b, count(*) AS k FROM g GROUP BY doc_id, b)
+            SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+                   ROUND(SUM(k * lam.lam), 6) AS logweight
+            FROM dk JOIN lam USING (b) GROUP BY dk.doc_id
+        """,
+
+        # unicode/whitespace normalization (text_analysis.normalize_text):
+        # the query injects deterministic whitespace noise on even doc_ids
+        # (the corpus itself is already clean) — same injection here, same
+        # explicit ASCII whitespace class both sides (never bare \s).
+        "doc_normalize": r"""
+            WITH noisy AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN chr(9) || replace(text, ' ', '  ')
+                                 || chr(10) || chr(10)
+                            ELSE text END AS text
+                FROM documents),
+            n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(nfc_normalize(text),
+                                          '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                           '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text_norm,
+                       text AS orig
+                FROM noisy)
+            SELECT doc_id, text_norm, length(text_norm) AS n_chars_norm,
+                   text_norm <> orig AS changed
+            FROM n
+        """,
+
+        # pad-to-hour-grid + exact linear interpolation in timestamp space
+        # (ops/interpolate.interpolate_by_time): observed buckets rounded 6
+        # BEFORE interpolation on both sides; the fill expression
+        # pv + (nv-pv)*((t-pt)/(nt-pt)) divides the time ratio FIRST —
+        # identical expression text, bit-equal pre-round.
+        "interpolate_linear": """
+            WITH agg AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                       ROUND(SUM(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, MIN(bucket_ts) lo, MAX(bucket_ts) hi
+                       FROM agg GROUP BY 1),
+            grid AS (SELECT user_id,
+                            UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+                                AS bucket_ts
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.bucket_ts, a.v
+                  FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)),
+            f AS (
+                SELECT user_id, bucket_ts, v,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pt,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                           AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                           AS nt
+                FROM j)
+            SELECT user_id, bucket_ts,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NULL OR nv IS NULL THEN NULL
+                        ELSE pv + (nv - pv)
+                             * (CAST(epoch_us(bucket_ts) - epoch_us(pt) AS DOUBLE)
+                                / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+                   END AS value_sum
+            FROM f
         """,
 
         # exact-fraction stratified sample: per-group md5 rank election,

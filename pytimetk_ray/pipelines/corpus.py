@@ -684,3 +684,100 @@ def bloom_contamination(
     return ds.map_batches(Prober, fn_constructor_kwargs=dict(ref=filt_ref),
                           batch_format="pandas",
                           concurrency=min(4, half))
+
+
+# --- DSIR: data selection with importance resampling ------------------------
+
+
+def _gram_buckets(text: str, buckets: int) -> np.ndarray:
+    """Hashed n-gram feature buckets (unigrams + bigrams of the shared
+    word regex, md5_number_lower parity) — the DSIR feature map."""
+    words = tx._WORD_RE.findall((text or "").lower())
+    grams = words + [a + " " + b for a, b in zip(words, words[1:])]
+    if not grams:
+        return np.zeros(0, dtype=np.int64)
+    return (tx.md5_u64_many(grams) % np.uint64(buckets)).astype(np.int64)
+
+
+def _bucket_counts(ds: rd.Dataset, *, text_column: str, buckets: int,
+                   num_partitions: int) -> np.ndarray:
+    """Corpus-total hashed-gram bucket counts: per-batch bincount partial
+    (<= B rows per batch cross the wire) -> keyed sum -> B-length vector.
+    The driver only ever holds B integers, independent of corpus size."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(buckets, dtype=np.int64)
+        for t in batch[text_column]:
+            b = _gram_buckets(t, buckets)
+            if len(b):
+                acc += np.bincount(b, minlength=buckets)
+        nz = np.flatnonzero(acc)
+        return pd.DataFrame({"b": nz.astype(np.int64), "cnt": acc[nz]})
+
+    def reduce_sum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("b", as_index=False, sort=False)["cnt"].sum()
+
+    pdf = partitioned_group_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["b"], reduce_sum, sort_by=["b"],
+        num_partitions=num_partitions).to_pandas()
+    out = np.zeros(buckets, dtype=np.int64)
+    if len(pdf):
+        out[pdf["b"].to_numpy()] = pdf["cnt"].to_numpy(np.int64)
+    return out
+
+
+def dsir_logweight(ds: rd.Dataset, target: rd.Dataset, *,
+                   id_column: str = "doc_id", text_column: str = "text",
+                   buckets: int = 256,
+                   num_partitions: int = CORPUS_PARTITIONS,
+                   concurrency: int = 4) -> rd.Dataset:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed n-gram profile is.
+
+    Per bucket ``b``, with add-one smoothing over ``B`` buckets:
+    ``lam[b] = ln((ct[b]+1)/(Tt+B)) - ln((cr[b]+1)/(Tr+B))`` where
+    ``ct``/``cr`` are target/raw gram counts.  A document's log-weight is
+    ``sum_b k[b] * lam[b]`` over its own gram-bucket counts ``k`` —
+    documents whose features look like the target get high weights;
+    resampling by these weights is the paper's selection step (pair with
+    ``hash_sample``/``quality_quantile_filter`` for the cut).
+
+    Scale: two bounded count passes (B-integer reduces), lam broadcast via
+    ``ray.put`` (read once per actor), one stateless scoring pass.  Nothing
+    driver-side grows with the corpus.  Docs with no grams are dropped
+    (mirrors the SQL gram expansion).  Output: (id, n_grams, logweight) —
+    caller rounds; the k*lam sums are order-dependent at the last ulp only
+    (same contract as ``bigram_logprob``).
+    """
+    ct = _bucket_counts(target, text_column=text_column, buckets=buckets,
+                        num_partitions=num_partitions)
+    cr = _bucket_counts(ds, text_column=text_column, buckets=buckets,
+                        num_partitions=num_partitions)
+    lam = (np.log((ct + 1.0) / float(ct.sum() + buckets))
+           - np.log((cr + 1.0) / float(cr.sum() + buckets)))
+    lam_ref = ray.put(lam)
+
+    class Scorer:
+        def __init__(self, ref):
+            self.lam = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, ng, lw = [], [], []
+            for i, t in zip(batch[id_column], batch[text_column]):
+                b = _gram_buckets(t, buckets)
+                if not len(b):
+                    continue
+                k = np.bincount(b, minlength=buckets).astype(np.float64)
+                ids.append(i)
+                ng.append(len(b))
+                lw.append(float(np.sum(k * self.lam)))
+            return pd.DataFrame({
+                id_column: np.array(ids, dtype=np.int64),
+                "n_grams": np.array(ng, dtype=np.int64),
+                "logweight": np.array(lw, dtype=np.float64)})
+
+    return ds.map_batches(Scorer, fn_constructor_kwargs=dict(ref=lam_ref),
+                          batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)

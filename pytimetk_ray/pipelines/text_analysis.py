@@ -146,3 +146,43 @@ def gopher_rules(ds: rd.Dataset, *, id_column: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def normalize_text(ds: rd.Dataset, *, id_column: str = "doc_id",
+                   text_column: str = "text") -> rd.Dataset:
+    """Unicode + whitespace normalization (the ftfy-lite cleanup every web
+    corpus gets before hashing/dedup): NFC-normalize, strip control
+    characters, collapse whitespace runs to single spaces, trim.
+
+    Parity notes (oracle = nfc_normalize + regexp_replace in DuckDB): the
+    whitespace class is pinned to the explicit ASCII set ``[ \\t\\n\\r\\f\\v]``
+    on both sides (Python ``\\s`` is Unicode-wide, RE2 ``\\s`` is ASCII —
+    never use bare ``\\s`` where the two engines must agree).
+
+    Output: (id, text_norm, n_chars_norm, changed).  Stateless projection —
+    no shuffle, scale-free.
+    """
+    import re
+    import unicodedata
+
+    ctrl = re.compile("[\x00-\x08\x0e-\x1f\x7f]")
+    wsp = re.compile("[ \t\n\r\f\v]+")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        orig = batch[text_column].tolist()
+        out = []
+        for t in orig:
+            s = unicodedata.normalize("NFC", t or "")
+            s = ctrl.sub("", s)
+            s = wsp.sub(" ", s).strip(" ")
+            out.append(s)
+        norm = pd.Series(out, dtype=object)
+        return pd.DataFrame({
+            id_column: batch[id_column].to_numpy(),
+            "text_norm": norm,
+            "n_chars_norm": norm.str.len().to_numpy("int64"),
+            "changed": pd.Series([a != b for a, b in zip(out, orig)],
+                                 dtype=bool),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
