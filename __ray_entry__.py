@@ -1471,6 +1471,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            buckets=256),
             ["logweight"])
 
+    def dsir_resample_q(sf_dir):
+        from pytimetk_ray.pipelines.corpus import dsir_resample
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+        target = docs.filter(expr="lang == 'en'").select_columns(
+            ["doc_id", "text"])
+        # key = round6(logweight)/T + md5-derived Gumbel noise is bit-equal
+        # across engines (only the raw k*lam sum is order-dependent, and it
+        # is rounded before the key) — compare UNROUNDED, cut deterministic
+        return dsir_resample(docs.select_columns(["doc_id", "text"]), target,
+                             k=100, buckets=256)
+
     def doc_normalize(sf_dir):
         from pytimetk_ray.pipelines.text_analysis import normalize_text
 
@@ -1678,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holiday_signature_multi": holiday_signature_multi,
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
+        "dsir_resample": dsir_resample_q,
         "tfidf_topk": tfidf_topk_q,
         "pii_redact": pii_redact,
         "conv_stats": conv_stats,
@@ -2450,6 +2463,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
                    ROUND(SUM(k * lam.lam), 6) AS logweight
             FROM dk JOIN lam USING (b) GROUP BY dk.doc_id
+        """,
+
+        # DSIR selection: Gumbel-top-k without replacement over the rounded
+        # log-weights; the md5-derived Gumbel key is bit-equal across
+        # engines, so the top-100 cut is deterministic (ties -> doc_id)
+        "dsir_resample": r"""
+            WITH w AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, md5_number_lower(g) % 256 AS b FROM (
+                    SELECT doc_id, unnest(ws) AS g FROM w
+                    UNION ALL
+                    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                    FROM w, UNNEST(range(1, len(ws))) AS t(i)
+                    WHERE len(ws) >= 2)),
+            tc AS (SELECT b, count(*) AS ct FROM g
+                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+            rc AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+            tt AS (SELECT sum(ct) AS t FROM tc),
+            rt AS (SELECT sum(cr) AS t FROM rc),
+            lam AS (
+                SELECT r.b,
+                       ln((coalesce(tc.ct, 0) + 1.0) / ((SELECT t FROM tt) + 256))
+                     - ln((r.cr + 1.0) / ((SELECT t FROM rt) + 256)) AS lam
+                FROM rc r LEFT JOIN tc ON r.b = tc.b),
+            dk AS (SELECT doc_id, b, count(*) AS k FROM g GROUP BY doc_id, b),
+            scored AS (
+                SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+                       ROUND(SUM(k * lam.lam), 6) AS logweight
+                FROM dk JOIN lam USING (b) GROUP BY dk.doc_id),
+            keyed AS (
+                SELECT doc_id, n_grams, logweight,
+                       logweight / 1.0
+                       + (-ln(-ln((md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   % 9007199254740992 + 0.5)
+                                  / 9007199254740992.0))) AS key
+                FROM scored)
+            SELECT doc_id, n_grams, logweight, key
+            FROM keyed ORDER BY key DESC, doc_id LIMIT 100
         """,
 
         # unicode/whitespace normalization (text_analysis.normalize_text):

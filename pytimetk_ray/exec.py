@@ -27,6 +27,7 @@ from typing import Callable, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -55,8 +56,28 @@ def _add_part_arrow(batch: pa.Table, keys: Sequence[str], num_partitions: int,
         return batch.append_column(PART_COL, pa.array([], type=pa.int64()))
     h = np.zeros(len(batch), dtype=np.uint64)
     for k in keys:
-        col = batch[k].to_pandas().to_numpy()
-        h = h * np.uint64(1000003) + pd.util.hash_array(col)
+        col = batch[k]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # hash only the UNIQUE strings, gather by code: string keys are
+            # heavily repeated (43 turns/conversation), and materializing
+            # millions of Python str objects per block for hash_array was
+            # the measured hot spot of the shuffle's map side (~2.7s/3.2M
+            # rows single-threaded, far worse under full-node memory
+            # contention).  dictionary_encode runs in Arrow C++; the hash
+            # VALUES are bit-identical to hashing the full column, so
+            # partition assignment, manifests and affected_partitions stay
+            # compatible.
+            dic = pc.dictionary_encode(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+            if isinstance(dic, pa.ChunkedArray):
+                dic = dic.combine_chunks()
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            uniq = dic.dictionary.to_pandas().to_numpy()
+            hk = pd.util.hash_array(uniq)[codes]
+        else:
+            hk = pd.util.hash_array(col.to_pandas().to_numpy())
+        h = h * np.uint64(1000003) + hk
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     if PART_COL in batch.column_names:
         batch = batch.drop_columns([PART_COL])

@@ -781,3 +781,53 @@ def dsir_logweight(ds: rd.Dataset, target: rd.Dataset, *,
     return ds.map_batches(Scorer, fn_constructor_kwargs=dict(ref=lam_ref),
                           batch_format="pandas", batch_size=4096,
                           concurrency=concurrency)
+
+
+def dsir_resample(ds: rd.Dataset, target: rd.Dataset, *, k: int,
+                  id_column: str = "doc_id", text_column: str = "text",
+                  buckets: int = 256, temperature: float = 1.0,
+                  num_partitions: int = CORPUS_PARTITIONS,
+                  concurrency: int = 4) -> rd.Dataset:
+    """DSIR selection step: Gumbel-top-k resampling without replacement
+    (Kool et al. 2019) over the importance log-weights — the documents kept
+    are a weighted sample proportional to ``exp(logweight/temperature)``.
+
+    Determinism / oracle parity: the Gumbel noise is derived from the
+    document id (``u = (md5_u64(id) % 2^53 + 0.5) / 2^53``,
+    ``g = -ln(-ln(u))``) — no RNG state, bit-reproducible, and the SAME
+    expression evaluates bit-equal in DuckDB.  The log-weight is rounded to
+    6 digits BEFORE the key sum (the raw k*lam sum is the only
+    order-dependent term), so ``key = logweight_r / T + g`` is bit-equal
+    across engines and the top-k cut is deterministic (ties broken by id).
+
+    Scale: per-partition local top-k -> one tiny final reduce (<= P*k rows
+    at the driver-side boundary, never the corpus).
+    """
+    two53 = float(1 << 53)
+    w = dsir_logweight(ds, target, id_column=id_column,
+                       text_column=text_column, buckets=buckets,
+                       num_partitions=num_partitions,
+                       concurrency=concurrency)
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].astype(np.int64)
+        h = tx.md5_u64_many([str(i) for i in ids])
+        u = ((h % np.uint64(1 << 53)).astype(np.float64) + 0.5) / two53
+        g = -np.log(-np.log(u))
+        lw = np.round(batch["logweight"].to_numpy(np.float64), 6)
+        batch["logweight"] = lw
+        batch["key"] = lw / float(temperature) + g
+        return batch
+
+    keyed = w.map_batches(add_key, batch_format="pandas")
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.sort_values(["key", id_column],
+                                 ascending=[False, True], kind="mergesort")
+                .head(k).reset_index(drop=True))
+
+    per_part = partitioned_group_map(keyed, [id_column], local_topk,
+                                     sort_by=None,
+                                     num_partitions=num_partitions)
+    return partitioned_group_map(per_part, [], local_topk, sort_by=None,
+                                 num_partitions=1)

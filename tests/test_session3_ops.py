@@ -281,3 +281,34 @@ def test_bpe_token_counts_matches_per_word_encoding():
     got_short = (bpe_token_counts(ds, merges[:2]).to_pandas()
                  .sort_values("doc_id").reset_index(drop=True))
     assert (got_short.n_tokens >= got.n_tokens).all()
+
+
+def test_dsir_resample_gumbel_topk():
+    from pytimetk_ray.pipelines.corpus import dsir_resample
+
+    rng = np.random.default_rng(3)
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "sigma", "kappa", "theta"]
+    texts = [" ".join(rng.choice(vocab_a if i % 2 == 0 else vocab_b, size=10))
+             for i in range(30)]
+    docs = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_pandas(docs)
+    tgt = rd.from_pandas(docs[docs.doc_id % 2 == 0])
+    got = (dsir_resample(ds, tgt, k=10, buckets=32)
+           .to_pandas().reset_index(drop=True))
+    assert len(got) == 10
+    # deterministic: identical second run
+    got2 = dsir_resample(ds, tgt, k=10, buckets=32).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
+    # key really is round6(logweight)/T + md5 Gumbel
+    for _, r in got.iterrows():
+        h = md5_u64(str(int(r.doc_id)))
+        u = ((h % (1 << 53)) + 0.5) / float(1 << 53)
+        g = -np.log(-np.log(u))
+        assert r.key == round(r.logweight, 6) / 1.0 + g
+    # the selected set is exactly the global top-10 by (key desc, id)
+    full = dsir_resample(ds, tgt, k=30, buckets=32).to_pandas()
+    want = (full.sort_values(["key", "doc_id"], ascending=[False, True])
+            .head(10).doc_id.tolist())
+    assert got.doc_id.tolist() == want
