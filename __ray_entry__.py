@@ -1477,9 +1477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
         target = docs.filter(expr="lang == 'en'").select_columns(
             ["doc_id", "text"])
-        # key = round6(logweight)/T + md5-derived Gumbel noise is bit-equal
-        # across engines (only the raw k*lam sum is order-dependent, and it
-        # is rounded before the key) — compare UNROUNDED, cut deterministic
+        # key = round6(round6(logweight)/T + md5-derived Gumbel): numpy and
+        # DuckDB libm ln differ at the last ulp, so the key is rounded
+        # before the cut (round-before-select); rounded ties break by id
         return dsir_resample(docs.select_columns(["doc_id", "text"]), target,
                              k=100, buckets=256)
 
@@ -2466,8 +2466,8 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         # DSIR selection: Gumbel-top-k without replacement over the rounded
-        # log-weights; the md5-derived Gumbel key is bit-equal across
-        # engines, so the top-100 cut is deterministic (ties -> doc_id)
+        # log-weights; ln differs at the last ulp across engines, so the
+        # key is ROUNDED before the top-100 cut (ties -> doc_id)
         "dsir_resample": r"""
             WITH w AS MATERIALIZED (
                 SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
@@ -2496,10 +2496,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM dk JOIN lam USING (b) GROUP BY dk.doc_id),
             keyed AS (
                 SELECT doc_id, n_grams, logweight,
-                       logweight / 1.0
-                       + (-ln(-ln((md5_number_lower(CAST(doc_id AS VARCHAR))
-                                   % 9007199254740992 + 0.5)
-                                  / 9007199254740992.0))) AS key
+                       ROUND(logweight / 1.0
+                             + (-ln(-ln((md5_number_lower(CAST(doc_id AS VARCHAR))
+                                         % 9007199254740992 + 0.5)
+                                        / 9007199254740992.0))), 6) AS key
                 FROM scored)
             SELECT doc_id, n_grams, logweight, key
             FROM keyed ORDER BY key DESC, doc_id LIMIT 100

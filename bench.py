@@ -231,10 +231,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     ).count())
 
     # --- sf1 row: the 10x memory story (streaming, no OOM) ------------------
-    # single run (not best-of-2) over the ~257M-turn chunked corpus; only
-    # when the cached corpus already exists (generate with `bench.py --sf1`)
-    # so the default suite's wall time stays driver-friendly otherwise
-    if os.path.isdir(SF1_PATH) and os.environ.get("GRAFT_BENCH_SF1", "1") != "0":
+    # single run (not best-of-2) over the ~257M-turn chunked corpus; OPT-IN
+    # (GRAFT_BENCH_SF1=1 with the corpus cached via `bench.py --sf1`): the
+    # row costs ~8-10 min on this host, which would blow the driver's
+    # default-suite wall budget — sf1 numbers live in BASELINE.md instead
+    if os.path.isdir(SF1_PATH) and os.environ.get("GRAFT_BENCH_SF1") == "1":
         sf1_turns = rd.read_parquet(SF1_PATH).count()
         sf1_res, sf1_dir = timed(
             "sf1_cascade", lambda: cascade(SF1_PATH, "sf1", blocks=160))

@@ -794,11 +794,11 @@ def dsir_resample(ds: rd.Dataset, target: rd.Dataset, *, k: int,
 
     Determinism / oracle parity: the Gumbel noise is derived from the
     document id (``u = (md5_u64(id) % 2^53 + 0.5) / 2^53``,
-    ``g = -ln(-ln(u))``) — no RNG state, bit-reproducible, and the SAME
-    expression evaluates bit-equal in DuckDB.  The log-weight is rounded to
-    6 digits BEFORE the key sum (the raw k*lam sum is the only
-    order-dependent term), so ``key = logweight_r / T + g`` is bit-equal
-    across engines and the top-k cut is deterministic (ties broken by id).
+    ``g = -ln(-ln(u))``) — no RNG state, bit-reproducible.  ``ln`` is NOT
+    bit-identical across numpy and DuckDB libm at the last ulp (measured),
+    so the key ``logweight_r / T + g`` is ROUNDED to 6 digits before the
+    cut (the round-before-select pattern, same as the ANN scorers); rounded
+    ties break by id, so the top-k membership is deterministic.
 
     Scale: per-partition local top-k -> one tiny final reduce (<= P*k rows
     at the driver-side boundary, never the corpus).
@@ -816,7 +816,7 @@ def dsir_resample(ds: rd.Dataset, target: rd.Dataset, *, k: int,
         g = -np.log(-np.log(u))
         lw = np.round(batch["logweight"].to_numpy(np.float64), 6)
         batch["logweight"] = lw
-        batch["key"] = lw / float(temperature) + g
+        batch["key"] = np.round(lw / float(temperature) + g, 6)
         return batch
 
     keyed = w.map_batches(add_key, batch_format="pandas")

@@ -301,12 +301,12 @@ def test_dsir_resample_gumbel_topk():
     # deterministic: identical second run
     got2 = dsir_resample(ds, tgt, k=10, buckets=32).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
-    # key really is round6(logweight)/T + md5 Gumbel
+    # key really is round6(round6(logweight)/T + md5 Gumbel)
     for _, r in got.iterrows():
         h = md5_u64(str(int(r.doc_id)))
         u = ((h % (1 << 53)) + 0.5) / float(1 << 53)
         g = -np.log(-np.log(u))
-        assert r.key == round(r.logweight, 6) / 1.0 + g
+        assert r.key == np.round(round(r.logweight, 6) / 1.0 + g, 6)
     # the selected set is exactly the global top-10 by (key desc, id)
     full = dsir_resample(ds, tgt, k=30, buckets=32).to_pandas()
     want = (full.sort_values(["key", "doc_id"], ascending=[False, True])
