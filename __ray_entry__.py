@@ -1532,6 +1532,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe_train(docs, num_merges=60, max_words=5000)
         return bpe_token_counts(docs, merges)
 
+    def cohort_retention_q(sf_dir):
+        from pytimetk_ray.ops.cohort import cohort_retention
+
+        ev = _events(sf_dir).select_columns(["user_id", "ts"])
+        return cohort_retention(ev, freq="D")
+
+    def vocab_topk_sketch_q(sf_dir):
+        from pytimetk_ray.pipelines.corpus import vocab_topk_sketch
+
+        # exact regime (capacity >> distinct vocabulary): SpaceSaving
+        # summaries merge to the exact counts, err == 0 — the oracle is the
+        # same SQL as vocab_topk
+        return vocab_topk_sketch(
+            _docs(sf_dir).select_columns(["doc_id", "text"]),
+            top_n=50, capacity=100_000)
+
+    def events_ndistinct(sf_dir):
+        from pytimetk_ray.ops.distinct import approx_ndistinct
+
+        # rows-only: HLL estimate (DuckDB's approx_count_distinct is a
+        # different HLL construction); error bounds pytest-pinned
+        ev = _events(sf_dir).select_columns(["user_id", "event_type"])
+        return approx_ndistinct(ev, "user_id", by=["event_type"])
+
     def gopher_rules_q(sf_dir):
         from pytimetk_ray.pipelines.text_analysis import gopher_rules
 
@@ -1691,6 +1715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
         "dsir_resample": dsir_resample_q,
+        "cohort_retention": cohort_retention_q,
+        "vocab_topk_sketch": vocab_topk_sketch_q,
+        "events_ndistinct": events_ndistinct,
         "tfidf_topk": tfidf_topk_q,
         "pii_redact": pii_redact,
         "conv_stats": conv_stats,
@@ -2503,6 +2530,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, n_grams, logweight, key
             FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+        """,
+
+        # cohort retention triangle (ops/cohort.cohort_retention): exact
+        # integer counts of distinct users per (first-event day, active day)
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_ts
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, f.cohort_ts,
+                         date_trunc('day', e.ts) AS bucket_ts
+                  FROM events e JOIN f USING (user_id))
+            SELECT cohort_ts, bucket_ts, count(*) AS n_users
+            FROM a GROUP BY cohort_ts, bucket_ts
+        """,
+
+        # SpaceSaving top-50 in the EXACT regime (capacity >= distinct
+        # vocabulary => counts exact, err = 0) — same count/tie order as
+        # vocab_topk
+        "vocab_topk_sketch": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[\w'']+')) AS token
+                FROM documents)
+            SELECT token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
+            FROM tok GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 50
         """,
 
         # unicode/whitespace normalization (text_analysis.normalize_text):

@@ -155,3 +155,158 @@ class KLL:
             sk.levels.append(body[pos:pos + s].copy())
             pos += int(s)
         return sk
+
+
+# --- HyperLogLog (Flajolet et al. 2007) -------------------------------------
+
+
+class HLL:
+    """HyperLogLog distinct-count sketch over uint64 hashes.
+
+    ``p`` index bits -> m = 2**p single-byte registers (m=4096 at the
+    default p=12: ~1.04/sqrt(m) ~ 1.6% standard error in 4 KiB, regardless
+    of cardinality).  Mergeable by elementwise register max — the same
+    partial/combine contract as every aggregate in this engine; merging is
+    associative and commutative, so combine order never changes the
+    estimate (bit-reproducible across block layouts, unlike KLL).
+
+    Input is the caller's 64-bit hash (use ``kernels.text.md5_u64_many``
+    for strings or ``pd.util.hash_array`` for numerics) — the sketch never
+    sees raw values.  Small-range correction per the original paper; the
+    64-bit variant needs no large-range correction.
+    """
+
+    __slots__ = ("p", "m", "regs")
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> "HLL":
+        """Vectorized register update from a uint64 hash array."""
+        h = np.asarray(h, dtype=np.uint64)
+        if len(h) == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        nbits = 64 - self.p
+        rank = np.zeros(len(h), dtype=np.uint8)
+        alive = np.ones(len(h), dtype=bool)
+        top = np.uint64(1) << np.uint64(63)
+        for r in range(1, nbits + 1):
+            zero_top = alive & ((rest & top) == 0)
+            rank[alive] = r
+            alive = zero_top
+            if not alive.any():
+                break
+            rest = rest << np.uint64(1)
+        rank[alive] = nbits + 1
+        np.maximum.at(self.regs, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError("HLL precision mismatch")
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if self.m >= 128:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        elif self.m == 64:
+            alpha = 0.709
+        elif self.m == 32:
+            alpha = 0.697
+        else:
+            alpha = 0.673
+        inv = np.ldexp(1.0, -self.regs.astype(np.int64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.regs == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.regs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "HLL":
+        s = cls(raw[0])
+        s.regs = np.frombuffer(raw[1:], dtype=np.uint8).copy()
+        return s
+
+
+# --- SpaceSaving heavy hitters (Metwally et al. 2005) ------------------------
+
+
+class SpaceSaving:
+    """SpaceSaving top-k summary (Metwally, Agrawal, El Abbadi, "Efficient
+    computation of frequent and top-k elements in data streams", ICDT 2005)
+    with the mergeable-summaries combine of Agarwal et al. (PODS 2012).
+
+    Holds at most ``capacity`` counters.  For every tracked item,
+    ``count - err <= true_count <= count``; any item with true count
+    > N/capacity is guaranteed tracked.  When ``capacity`` exceeds the
+    stream's distinct-item count the summary is EXACT (err = 0 for all) —
+    the property the oracle twin uses.
+
+    ``update_counts`` consumes (item, count) pairs — per-batch exact counts
+    from a vectorized ``value_counts`` — so the Python loop runs over
+    DISTINCT items per batch, never the token stream.
+    """
+
+    __slots__ = ("capacity", "counts", "errs")
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.errs: dict = {}
+
+    def update_counts(self, items, counts) -> "SpaceSaving":
+        for it, c in zip(items, counts):
+            c = int(c)
+            if it in self.counts:
+                self.counts[it] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[it] = c
+                self.errs[it] = 0
+            else:
+                victim = min(self.counts, key=lambda x: (self.counts[x], x))
+                m = self.counts.pop(victim)
+                self.errs.pop(victim)
+                self.counts[it] = m + c
+                self.errs[it] = m
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        for it, c in other.counts.items():
+            e = other.errs[it]
+            if it in self.counts:
+                self.counts[it] += c
+                self.errs[it] += e
+            else:
+                self.counts[it] = c
+                self.errs[it] = e
+        if len(self.counts) > self.capacity:
+            # keep the top-capacity by count (ties: item asc, stable);
+            # evicted mass raises the retained floor like single-stream
+            # eviction would — errors stay upper bounds
+            order = sorted(self.counts.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+            kept = order[: self.capacity]
+            floor = max(c for _, c in order[self.capacity:])
+            self.counts = dict(kept)
+            self.errs = {it: min(self.errs[it] + floor, self.counts[it])
+                         for it, _ in kept}
+        return self
+
+    def topk(self, k: int) -> list[tuple[object, int, int]]:
+        """[(item, count_upper_bound, err)] — count desc, item asc."""
+        order = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(it, c, self.errs[it]) for it, c in order[:k]]

@@ -831,3 +831,49 @@ def dsir_resample(ds: rd.Dataset, target: rd.Dataset, *, k: int,
                                      num_partitions=num_partitions)
     return partitioned_group_map(per_part, [], local_topk, sort_by=None,
                                  num_partitions=1)
+
+
+def vocab_topk_sketch(ds: rd.Dataset, *, text_column: str = "text",
+                      top_n: int = 50, capacity: int = 4096) -> rd.Dataset:
+    """Top-N corpus tokens via mergeable SpaceSaving summaries — the
+    bounded-memory, SHUFFLE-FREE alternative to ``vocab_topk``.
+
+    Shape: one stateless pass builds a ``capacity``-counter SpaceSaving
+    per block (fed exact per-batch value_counts, so the Python loop runs
+    over distinct tokens per batch); each block emits ONE pickled-summary
+    row; a single final task merges the B summaries.  No token-keyed
+    exchange at all — at 100 TB the exact path's (token, cnt) shuffle is
+    replaced by B * capacity counters.
+
+    Guarantees (Metwally et al. 2005 / Agarwal et al. 2012): reported
+    ``cnt`` is an upper bound, ``cnt - err`` a lower bound; any token with
+    true count > N/capacity is present.  With ``capacity`` >= the distinct
+    vocabulary the result is EXACT (err = 0) and equals ``vocab_topk`` —
+    the oracle twin runs in that regime.
+    """
+    import pickle
+
+    from pytimetk_ray.kernels.sketch import SpaceSaving
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_counts(batch[text_column].tolist())
+        s = SpaceSaving(capacity).update_counts(vc.index.tolist(),
+                                                vc.to_numpy())
+        return pd.DataFrame({"blob": pd.Series([pickle.dumps(s)],
+                                               dtype=object)})
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in part["blob"]:
+            s = pickle.loads(b)
+            acc = s if acc is None else acc.merge(s)
+        rows = acc.topk(top_n) if acc is not None else []
+        return pd.DataFrame({
+            "token": pd.Series([r[0] for r in rows], dtype=object),
+            "cnt": np.array([r[1] for r in rows], dtype=np.int64),
+            "err": np.array([r[2] for r in rows], dtype=np.int64),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partitioned_group_map(partials, [], final, sort_by=None,
+                                 num_partitions=1)

@@ -1,0 +1,167 @@
+"""Tests: HyperLogLog, SpaceSaving heavy hitters, cohort retention."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pytimetk_ray.kernels.sketch import HLL, SpaceSaving
+from pytimetk_ray.ops.cohort import cohort_retention
+from pytimetk_ray.ops.distinct import approx_ndistinct
+from pytimetk_ray.pipelines.corpus import (token_totals, vocab_topk,
+                                           vocab_topk_sketch)
+
+
+# --- HLL ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [50, 2000, 100_000])
+def test_hll_error_within_envelope(n):
+    rng = np.random.default_rng(n)
+    vals = np.unique(rng.integers(0, 1 << 62, size=n).astype(np.uint64))
+    h = pd.util.hash_array(np.concatenate([vals, vals[: n // 3]]))
+    est = HLL(12).update_hashes(h).estimate()
+    # nominal sigma = 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(est - len(vals)) / len(vals) < 0.085
+
+
+def test_hll_merge_equals_single_pass_and_roundtrip():
+    rng = np.random.default_rng(9)
+    h = pd.util.hash_array(rng.integers(0, 1 << 62, size=60_000).astype(np.uint64))
+    whole = HLL(10).update_hashes(h)
+    parts = [HLL(10).update_hashes(c) for c in np.array_split(h, 7)]
+    acc = HLL.from_bytes(parts[0].to_bytes())
+    for s in parts[1:]:
+        acc.merge(HLL.from_bytes(s.to_bytes()))
+    assert (acc.regs == whole.regs).all()          # merge == single pass
+    assert acc.estimate() == whole.estimate()
+    # merge order does not matter (commutative/associative register max)
+    acc2 = parts[3]
+    for s in parts[:3] + parts[4:]:
+        acc2.merge(s)
+    assert (acc2.regs == whole.regs).all()
+
+
+def test_hll_small_range_linear_counting():
+    h = pd.util.hash_array(np.arange(17, dtype=np.int64))
+    est = HLL(12).update_hashes(h).estimate()
+    assert abs(est - 17) < 2
+
+
+# --- SpaceSaving -------------------------------------------------------------
+
+
+def test_spacesaving_bounds_and_guarantee():
+    rng = np.random.default_rng(4)
+    stream = (rng.zipf(1.4, 150_000) % 3000).astype(np.int64)
+    true = collections.Counter(stream.tolist())
+    s = SpaceSaving(200)
+    for chunk in np.array_split(stream, 13):
+        v, c = np.unique(chunk, return_counts=True)
+        s.update_counts(v.tolist(), c)
+    for it, cnt, err in s.topk(50):
+        assert cnt - err <= true[it] <= cnt
+    # guarantee: any item with true count > N/capacity is tracked
+    thresh = len(stream) / 200
+    for it, c in true.items():
+        if c > thresh:
+            assert it in s.counts
+
+
+def test_spacesaving_merge_exact_regime():
+    rng = np.random.default_rng(5)
+    stream = rng.integers(0, 500, size=40_000)
+    true = collections.Counter(stream.tolist())
+    parts = []
+    for chunk in np.array_split(stream, 6):
+        v, c = np.unique(chunk, return_counts=True)
+        parts.append(SpaceSaving(10_000).update_counts(v.tolist(), c))
+    acc = parts[0]
+    for s in parts[1:]:
+        acc.merge(s)
+    assert all(acc.counts[it] == c and acc.errs[it] == 0
+               for it, c in true.items())
+
+
+def test_vocab_topk_sketch_exact_regime_matches_exact(tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [f"alpha beta gamma{i % 7} delta word{i % 13}"
+                 for i in range(50)],
+    })
+    ds = rd.from_pandas(docs)
+    a = vocab_topk(ds, top_n=20).to_pandas()
+    b = vocab_topk_sketch(ds, top_n=20, capacity=10_000).to_pandas()
+    assert a.token.tolist() == b.token.tolist()
+    assert (a.cnt.to_numpy() == b.cnt.to_numpy()).all()
+    assert (b.err == 0).all()
+
+
+def test_vocab_topk_sketch_bounds_in_tight_regime():
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "text": [f"common words here plus rare{i}" for i in range(200)],
+    })
+    ds = rd.from_pandas(docs)
+    tot = token_totals(ds).to_pandas().set_index("token")["cnt"]
+    out = vocab_topk_sketch(ds, top_n=5, capacity=16).to_pandas()
+    for row in out.itertuples():
+        assert row.cnt - row.err <= tot[row.token] <= row.cnt
+    # the four always-present words dominate and must be reported first
+    assert set(out.token.head(4)) == {"common", "words", "here", "plus"}
+
+
+# --- approx_ndistinct --------------------------------------------------------
+
+
+def test_approx_ndistinct_grouped_accuracy():
+    rng = np.random.default_rng(11)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], n // 3),
+        "v": np.concatenate([
+            rng.integers(0, 500, n // 3),        # ~500 distinct
+            rng.integers(0, 5_000, n // 3),      # ~5k distinct
+            np.arange(n // 3),                   # all distinct
+        ]),
+    })
+    got = (approx_ndistinct(rd.from_pandas(df), "v", by=["g"]).to_pandas()
+           .set_index("g")["ndistinct_est"])
+    true = df.groupby("g")["v"].nunique()
+    for g in ["a", "b", "c"]:
+        assert abs(got[g] - true[g]) / true[g] < 0.085
+
+
+# --- cohort_retention --------------------------------------------------------
+
+
+def test_cohort_retention_matches_pandas():
+    rng = np.random.default_rng(2)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 60 * 86400, n), unit="s"),
+    })
+    got = (cohort_retention(rd.from_pandas(df), freq="W").to_pandas()
+           .sort_values(["cohort_ts", "bucket_ts"]).reset_index(drop=True))
+    wk = df.assign(b=df.ts.dt.to_period("W-SUN").dt.start_time)
+    first = wk.groupby("user_id")["b"].min().rename("cohort")
+    pairs = wk[["user_id", "b"]].drop_duplicates().join(first, on="user_id")
+    want = (pairs.groupby(["cohort", "b"]).size().reset_index(name="n_users")
+            .sort_values(["cohort", "b"]).reset_index(drop=True))
+    assert got.n_users.tolist() == want.n_users.tolist()
+    assert (got.cohort_ts.to_numpy().astype("datetime64[us]")
+            == want.cohort.to_numpy().astype("datetime64[us]")).all()
+    assert (got.bucket_ts.to_numpy().astype("datetime64[us]")
+            == want.b.to_numpy().astype("datetime64[us]")).all()
+    # diagonal rows are cohort sizes and cover every user exactly once
+    diag = got[got.cohort_ts == got.bucket_ts]
+    assert diag.n_users.sum() == df.user_id.nunique()
+    # no activity can precede its cohort
+    assert (got.bucket_ts >= got.cohort_ts).all()
