@@ -1532,6 +1532,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe_train(docs, num_merges=60, max_words=5000)
         return bpe_token_counts(docs, merges)
 
+    def funnel_stages_q(sf_dir):
+        from pytimetk_ray.ops.funnel import funnel_stages
+
+        # earliest-occurrence funnel with a 12h completion window — the
+        # window is what makes the stage distribution non-constant on the
+        # synthetic events (113/34/3 at sf0.01)
+        ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts"])
+        return funnel_stages(ev, ["view", "click", "purchase"], within="12h")
+
     def cohort_retention_q(sf_dir):
         from pytimetk_ray.ops.cohort import cohort_retention
 
@@ -1715,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
         "dsir_resample": dsir_resample_q,
+        "funnel_stages": funnel_stages_q,
         "cohort_retention": cohort_retention_q,
         "vocab_topk_sketch": vocab_topk_sketch_q,
         "events_ndistinct": events_ndistinct,
@@ -2530,6 +2540,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, n_grams, logweight, key
             FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+        """,
+
+        # earliest-occurrence funnel with a completion window
+        # (ops/funnel.funnel_stages): stage k = earliest step-k event
+        # strictly after the matched step k-1 and within 12h of step 1 —
+        # exactly the chained MIN(ts) construction below
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type IN ('view', 'click', 'purchase')),
+            s1 AS (SELECT user_id, MIN(ts) t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) t3
+                   FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                   t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
 
         # cohort retention triangle (ops/cohort.cohort_retention): exact

@@ -165,3 +165,73 @@ def test_cohort_retention_matches_pandas():
     assert diag.n_users.sum() == df.user_id.nunique()
     # no activity can precede its cohort
     assert (got.bucket_ts >= got.cohort_ts).all()
+
+
+# --- funnel ------------------------------------------------------------------
+
+
+def test_funnel_stages_greedy_earliest_and_window():
+    from pytimetk_ray.ops.funnel import funnel_counts, funnel_stages
+
+    t = pd.to_datetime
+    df = pd.DataFrame([
+        # u1 completes in order
+        (1, "view", t("2024-01-01 00:00")),
+        (1, "click", t("2024-01-01 01:00")),
+        (1, "purchase", t("2024-01-01 02:00")),
+        # u2: click BEFORE view -> stops at stage 1 (strictly-after rule)
+        (2, "click", t("2024-01-01 00:00")),
+        (2, "view", t("2024-01-01 01:00")),
+        # u3: completes but purchase outside the 3h window of first view
+        (3, "view", t("2024-01-01 00:00")),
+        (3, "click", t("2024-01-01 00:30")),
+        (3, "purchase", t("2024-01-01 05:00")),
+        # u4: no view at all -> stage 0
+        (4, "click", t("2024-01-01 00:00")),
+        # u5: greedy-earliest — the EARLIEST view anchors the window, so a
+        # later view + fast click pair is not considered
+        (5, "view", t("2024-01-01 00:00")),
+        (5, "view", t("2024-01-01 10:00")),
+        (5, "click", t("2024-01-01 10:30")),
+    ], columns=["user_id", "event_type", "ts"])
+    got = (funnel_stages(rd.from_pandas(df), ["view", "click", "purchase"],
+                         within="3h").to_pandas()
+           .set_index("user_id").sort_index())
+    assert got.stage.to_dict() == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
+    assert got.loc[1, "t_last"] == t("2024-01-01 02:00")
+    assert got.loc[3, "t_last"] == t("2024-01-01 00:30")
+    assert pd.isna(got.loc[4, "t_first"])
+    counts = (funnel_counts(
+        funnel_stages(rd.from_pandas(df), ["view", "click", "purchase"],
+                      within="3h"), 3).to_pandas()
+        .set_index("stage")["n_users"].to_dict())
+    assert counts == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_funnel_no_window_matches_naive():
+    from pytimetk_ray.ops.funnel import funnel_stages
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+    })
+    got = (funnel_stages(rd.from_pandas(df), ["view", "click", "purchase"])
+           .to_pandas().set_index("user_id").sort_index())
+
+    def naive(g):
+        stage, prev = 0, pd.Timestamp.min
+        for step in ["view", "click", "purchase"]:
+            cand = g[(g.event_type == step) & (g.ts > prev)]
+            if cand.empty:
+                break
+            prev = cand.ts.min()
+            stage += 1
+        return stage
+
+    steps = {"view", "click", "purchase"}
+    for uid, g in df[df.event_type.isin(steps)].groupby("user_id"):
+        assert got.loc[uid, "stage"] == naive(g), uid
