@@ -1532,6 +1532,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe_train(docs, num_merges=60, max_words=5000)
         return bpe_token_counts(docs, merges)
 
+    def summarize_csv_source(sf_dir):
+        import tempfile
+
+        from pytimetk_ray.sources.io import read_table, write_table
+
+        # prove the CSV source path end-to-end: parquet -> CSV (string
+        # timestamps) -> read_table with ts coercion -> hourly rollup; the
+        # oracle is the SAME SQL as a parquet-sourced hourly sum
+        out = os.path.join(tempfile.gettempdir(), "pytimetk_ray_csv_src",
+                           os.path.basename(os.path.normpath(sf_dir)))
+        if not os.path.isdir(out):
+            write_table(
+                _events(sf_dir).select_columns(["user_id", "ts", "value"]),
+                out, format="csv")
+        src = read_table(out, format="csv", ts_columns=["ts"])
+        agg = tk.summarize_by_time(src, "ts", "value", by=["user_id"],
+                                   freq="h", agg_func="sum")
+        return _round_cols(agg, ["value_sum"])
+
     def funnel_stages_q(sf_dir):
         from pytimetk_ray.ops.funnel import funnel_stages
 
@@ -1724,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
         "dsir_resample": dsir_resample_q,
+        "summarize_csv_source": summarize_csv_source,
         "funnel_stages": funnel_stages_q,
         "cohort_retention": cohort_retention_q,
         "vocab_topk_sketch": vocab_topk_sketch_q,
@@ -2540,6 +2560,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, n_grams, logweight, key
             FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+        """,
+
+        # CSV-source ingestion proof (sources/io.read_table): the engine
+        # result comes from a CSV round-trip of the events table; hourly
+        # sums must equal the parquet-sourced SQL exactly
+        "summarize_csv_source": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
         """,
 
         # earliest-occurrence funnel with a completion window
