@@ -1560,6 +1560,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts"])
         return funnel_stages(ev, ["view", "click", "purchase"], within="12h")
 
+    def docs_cube(sf_dir):
+        from pytimetk_ray.ops.grouping import aggregate_grouping_sets, cube_sets
+
+        return aggregate_grouping_sets(
+            _docs(sf_dir).select_columns(["lang", "source", "n_chars"]),
+            cube_sets(["lang", "source"]), "n_chars")
+
+    def funnel_ttc(sf_dir):
+        from pytimetk_ray.ops.funnel import funnel_stages
+        from pytimetk_ray.ops.quantiles import column_quantiles
+
+        ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts"])
+        st = funnel_stages(ev, ["view", "click", "purchase"], within="12h")
+        done = st.filter(expr="stage == 3")
+
+        def ttc(batch: pd.DataFrame) -> pd.DataFrame:
+            d = (batch["t_last"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                 - batch["t_first"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            return pd.DataFrame({"ttc_us": d})
+
+        # dyadic quantiles over integer microseconds are exactly
+        # representable, so np.nanquantile == DuckDB quantile_cont bit-for-
+        # bit (the lerp-formula difference cancels on exact values)
+        q = column_quantiles(done.map_batches(ttc, batch_format="pandas"),
+                             ["ttc_us"], [0.25, 0.5, 0.75])
+        return pd.DataFrame({"q": q["q"].to_numpy(np.float64),
+                             "ttc_us": q["value"].to_numpy(np.float64)})
+
     def cohort_retention_q(sf_dir):
         from pytimetk_ray.ops.cohort import cohort_retention
 
@@ -1745,6 +1773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": dsir_resample_q,
         "summarize_csv_source": summarize_csv_source,
         "funnel_stages": funnel_stages_q,
+        "docs_cube": docs_cube,
+        "funnel_ttc": funnel_ttc,
         "cohort_retention": cohort_retention_q,
         "vocab_topk_sketch": vocab_topk_sketch_q,
         "events_ndistinct": events_ndistinct,
@@ -2596,6 +2626,42 @@ def oracle_sql() -> dict[str, str]:
                    t1 AS t_first, COALESCE(t3, t2, t1) AS t_last
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
+        """,
+
+        # CUBE over (lang, source) — engine lowers grouping sets to the
+        # same UNION ALL of combiner-prefixed aggregates; exact integers
+        "docs_cube": """
+            SELECT COALESCE(lang, '(all)') AS lang,
+                   COALESCE(source, '(all)') AS source,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """,
+
+        # time-to-convert quantiles for funnel completers: integer-us
+        # durations make dyadic quantile_cont values exactly representable,
+        # so np.nanquantile matches bit-for-bit with no rounding
+        "funnel_ttc": """
+            WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) t3
+                   FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+                   GROUP BY e.user_id),
+            d AS (SELECT CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE) AS ttc
+                  FROM s3 JOIN s1 USING (user_id))
+            SELECT 0.25 AS q, quantile_cont(ttc, 0.25) AS ttc_us FROM d
+            UNION ALL
+            SELECT 0.5, quantile_cont(ttc, 0.5) FROM d
+            UNION ALL
+            SELECT 0.75, quantile_cont(ttc, 0.75) FROM d
         """,
 
         # cohort retention triangle (ops/cohort.cohort_retention): exact

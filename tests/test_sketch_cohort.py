@@ -235,3 +235,39 @@ def test_funnel_no_window_matches_naive():
     steps = {"view", "click", "purchase"}
     for uid, g in df[df.event_type.isin(steps)].groupby("user_id"):
         assert got.loc[uid, "stage"] == naive(g), uid
+
+
+# --- grouping sets -----------------------------------------------------------
+
+
+def test_cube_and_rollup_sets():
+    from pytimetk_ray.ops.grouping import cube_sets, rollup_sets
+
+    assert cube_sets(["a", "b"]) == [(), ("a",), ("b",), ("a", "b")]
+    assert rollup_sets(["a", "b"]) == [("a", "b"), ("a",), ()]
+
+
+def test_aggregate_grouping_sets_matches_pandas():
+    from pytimetk_ray.ops.grouping import aggregate_grouping_sets, cube_sets
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], 1000),
+        "source": rng.choice(["web", "chat"], 1000),
+        "n": rng.integers(1, 100, 1000).astype(np.int64),
+    })
+    got = (aggregate_grouping_sets(rd.from_pandas(df),
+                                   cube_sets(["lang", "source"]), "n")
+           .to_pandas().sort_values(["lang", "source"])
+           .reset_index(drop=True))
+    # 3*2 + 3 + 2 + 1 rows
+    assert len(got) == 12
+    full = df.groupby(["lang", "source"]).agg(
+        n_rows=("n", "size"), n_sum=("n", "sum")).reset_index()
+    for row in full.itertuples():
+        m = got[(got.lang == row.lang) & (got.source == row.source)]
+        assert m.n_rows.iloc[0] == row.n_rows and m["n_sum"].iloc[0] == row.n_sum
+    g_all = got[(got.lang == "(all)") & (got.source == "(all)")]
+    assert g_all.n_rows.iloc[0] == 1000 and g_all.n_sum.iloc[0] == df.n.sum()
+    per_lang = got[(got.source == "(all)") & (got.lang != "(all)")]
+    assert per_lang.n_rows.sum() == 1000
