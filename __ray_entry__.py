@@ -1560,6 +1560,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir).select_columns(["user_id", "event_type", "ts"])
         return funnel_stages(ev, ["view", "click", "purchase"], within="12h")
 
+    def dedup_editdist(sf_dir):
+        from pytimetk_ray.pipelines.dedup import editdist_verify
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        # norm_dist is a ratio of exact integers — compare unrounded
+        return editdist_verify(pairs, docs, max_norm=0.4)
+
     def docs_cube(sf_dir):
         from pytimetk_ray.ops.grouping import aggregate_grouping_sets, cube_sets
 
@@ -1773,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": dsir_resample_q,
         "summarize_csv_source": summarize_csv_source,
         "funnel_stages": funnel_stages_q,
+        "dedup_editdist": dedup_editdist,
         "docs_cube": docs_cube,
         "funnel_ttc": funnel_ttc,
         "cohort_retention": cohort_retention_q,
@@ -2627,6 +2636,66 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
         """,
+
+        # minhash candidates verified by NORMALIZED edit distance
+        # (pipelines/dedup.editdist_verify): DuckDB levenshtein == the
+        # numpy DP; norm_dist is an exact-integer ratio, unrounded
+        "dedup_editdist": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[\w'']+') AS ws
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                FROM toks WHERE len(ws) >= 3
+            ),
+            sh AS (
+                SELECT doc_id,
+                       md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+                FROM idx
+                UNION ALL
+                SELECT doc_id, md5_number_lower(array_to_string(ws, ' '))
+                FROM toks WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            perm(pi, a, b) AS (VALUES __PERM_VALS__),
+            sig AS (
+                SELECT doc_id, pi,
+                       MIN((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                           % 2305843009213693951) AS mh
+                FROM sh, perm GROUP BY doc_id, pi
+            ),
+            band AS (
+                SELECT doc_id, pi // 8 AS band_id,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
+                FROM sig GROUP BY doc_id, pi // 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band_id = y.band_id AND x.bkey = y.bkey
+                 AND x.doc_id < y.doc_id
+            ),
+            est AS (
+                SELECT c.id_a, c.id_b,
+                       AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.pi = sa.pi
+                GROUP BY c.id_a, c.id_b
+            ),
+            v AS (
+                SELECT e.id_a, e.id_b,
+                       levenshtein(a.text, b.text) AS dist,
+                       CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                           / GREATEST(GREATEST(length(a.text),
+                                               length(b.text)), 1) AS norm_dist
+                FROM est e
+                JOIN documents a ON a.doc_id = e.id_a
+                JOIN documents b ON b.doc_id = e.id_b
+                WHERE e.est_jaccard >= 0.5
+            )
+            SELECT id_a, id_b, dist, norm_dist FROM v WHERE norm_dist <= 0.4
+        """.replace("__PERM_VALS__", _perm_vals),
 
         # CUBE over (lang, source) — engine lowers grouping sets to the
         # same UNION ALL of combiner-prefixed aggregates; exact integers

@@ -151,9 +151,12 @@ def hash_join(
                  for c in right_other_src}
 
     def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        # .to_numpy(): a Series with a non-reset index (e.g. upstream
+        # drop_duplicates) would ALIGN against the fill arrays' fresh
+        # RangeIndex and crash/misplace rows (NOTES_r3 lesson)
         n = len(batch)
-        out = {k: batch[k] for k in left_on}
-        out.update({c: batch[c] for c in left_other})
+        out = {k: batch[k].to_numpy() for k in left_on}
+        out.update({c: batch[c].to_numpy() for c in left_other})
         out.update({right_out[c]: _fill_array(rtypes[c], n)
                     for c in right_other_src})
         out[_SIDE] = np.zeros(n, dtype=np.int8)
@@ -161,9 +164,10 @@ def hash_join(
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
-        out = {k: batch[rk] for k, rk in zip(left_on, right_on)}
+        out = {k: batch[rk].to_numpy() for k, rk in zip(left_on, right_on)}
         out.update({c: _fill_array(ltypes[c], n) for c in left_other})
-        out.update({right_out[c]: batch[c] for c in right_other_src})
+        out.update({right_out[c]: batch[c].to_numpy()
+                    for c in right_other_src})
         out[_SIDE] = np.ones(n, dtype=np.int8)
         return pd.DataFrame(out)
 

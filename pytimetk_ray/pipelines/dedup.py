@@ -693,3 +693,83 @@ def _partial_pair_counts(id_column, max_doc_freq=None, emit_sizes=False):
         return pd.concat(frames, ignore_index=True)
 
     return fn
+
+
+def _levenshtein_many(pairs_a: list[str], pairs_b: list[str]) -> np.ndarray:
+    """Edit distances for a list of string pairs — classic DP with the inner
+    dimension vectorized in numpy (one O(len_b) array op per character of
+    a, never a Python cell loop)."""
+    out = np.empty(len(pairs_a), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(pairs_a, pairs_b)):
+        if a == b:
+            out[i] = 0
+            continue
+        if len(a) < len(b):
+            a, b = b, a
+        bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        n = len(bb)
+        idx = np.arange(n + 1, dtype=np.int64)
+        prev = idx.copy()
+        cand = np.empty(n + 1, dtype=np.int64)
+        for ca in np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32):
+            # pre-insertion candidates: substitution/match and deletion
+            cand[0] = prev[0] + 1
+            np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cand[1:])
+            # the left-to-right insertion chain cur[j] = min(cur[j-1]+1,
+            # cand[j]) has the closed form min_{k<=j}(cand[k] + (j-k))
+            # = minimum.accumulate(cand - idx) + idx — no scalar loop
+            prev = np.minimum.accumulate(cand - idx) + idx
+        out[i] = int(prev[-1])
+    return out
+
+
+def editdist_verify(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_norm: float = 0.4,
+    num_partitions: int = DEDUP_PARTITIONS,
+) -> rd.Dataset:
+    """Verify candidate pairs by NORMALIZED edit distance:
+    ``dist / greatest(len_a, len_b) <= max_norm``.
+
+    Texts reach the (small) candidate-pair set through two co-partitioned
+    ``hash_join`` exchanges (pairs ⋈ docs on id_a, then on id_b) — the
+    document table is never collected, and the O(n·m) DP runs only on
+    surviving candidates (numpy row-vectorized).  Output:
+    ``(id_a, id_b, dist, norm_dist)`` — ``norm_dist`` is a ratio of exact
+    integers, safe to compare unrounded (NOTES_r1 tie taxonomy).
+    """
+    from pytimetk_ray.ops.joins import hash_join
+
+    def rename(to: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({to: batch[id_column].to_numpy(),
+                                 f"text_{to[3:]}": batch[text_column].to_numpy()})
+        return fn
+
+    da = docs.map_batches(rename("id_a"), batch_format="pandas")
+    db = docs.map_batches(rename("id_b"), batch_format="pandas")
+    j = hash_join(pairs.select_columns(["id_a", "id_b"]), da,
+                  left_on="id_a", num_partitions=num_partitions)
+    j = hash_join(j, db, left_on="id_b", num_partitions=num_partitions)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ta = batch["text_a"].tolist()
+        tb = batch["text_b"].tolist()
+        dist = _levenshtein_many(ta, tb)
+        ln = np.maximum(batch["text_a"].str.len().to_numpy(np.int64),
+                        batch["text_b"].str.len().to_numpy(np.int64))
+        ln = np.maximum(ln, 1)
+        norm = dist / ln
+        keep = norm <= max_norm
+        return pd.DataFrame({
+            "id_a": batch["id_a"].to_numpy()[keep],
+            "id_b": batch["id_b"].to_numpy()[keep],
+            "dist": dist[keep],
+            "norm_dist": norm[keep],
+        })
+
+    return j.map_batches(score, batch_format="pandas")

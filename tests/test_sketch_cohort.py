@@ -271,3 +271,33 @@ def test_aggregate_grouping_sets_matches_pandas():
     assert g_all.n_rows.iloc[0] == 1000 and g_all.n_sum.iloc[0] == df.n.sum()
     per_lang = got[(got.source == "(all)") & (got.lang != "(all)")]
     assert per_lang.n_rows.sum() == 1000
+
+
+# --- edit-distance pair verification ------------------------------------------
+
+
+def test_editdist_verify_filters_by_normalized_distance():
+    from pytimetk_ray.pipelines.dedup import _levenshtein_many, editdist_verify
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",   # 2 edits
+            "a completely different sentence about nothing here",
+            "the quick brown fox jumps over the lazy dog",    # exact dup of 1
+        ],
+    })
+    pairs = pd.DataFrame({
+        "id_a": np.array([1, 1, 1], dtype=np.int64),
+        "id_b": np.array([2, 3, 4], dtype=np.int64),
+    })
+    got = (editdist_verify(rd.from_pandas(pairs), rd.from_pandas(docs),
+                           max_norm=0.2).to_pandas()
+           .sort_values("id_b").reset_index(drop=True))
+    # (1,2) close, (1,4) identical survive; (1,3) is far and dropped
+    assert got.id_b.tolist() == [2, 4]
+    assert got.dist.tolist() == [2, 0]
+    assert got.norm_dist.iloc[1] == 0.0
+    d = _levenshtein_many([docs.text[0]], [docs.text[1]])[0]
+    assert got.dist.iloc[0] == d
