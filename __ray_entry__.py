@@ -173,13 +173,19 @@ SELECT query_id, vec_id, dist FROM (
 """
 
 
-def _round_cols(ds, cols, digits=6):
+def _round_cols(ds, cols, digits=6, canon_zero=False):
     """Round float columns (both sides of the oracle compare round to the
-    same digits) and convert NaN -> null (SQL semantics for hashing)."""
+    same digits) and convert NaN -> null (SQL semantics for hashing).
+
+    ``canon_zero``: also fold -0.0 -> +0.0 (`v + 0.0`); pair with `+ 0` after
+    ROUND in the SQL.  The driver's value hash is byte-sensitive, so a -0.0
+    on one side only is a deterministic hash-fail even though -0.0 == 0.0."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
             v = np.round(batch[c].astype(np.float64).to_numpy(), digits)
+            if canon_zero:
+                v = v + 0.0
             batch[c] = pd.array(v, dtype="Float64")  # NaN -> <NA> -> Arrow null
         return batch
 
@@ -1153,7 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sessions(sf_dir):
         from pytimetk_ray.ops.sessions import augment_sessions
 
-        ds = augment_sessions(_events(sf_dir), ["user_id"], "ts", gap="2 hours")
+        ds = augment_sessions(_events(sf_dir), ["user_id"], "ts", gap="2 hours",
+                              tiebreakers=["event_id"])
         return ds.select_columns(["event_id", "user_id", "session_id"])
 
     def floor_ceil_dates(sf_dir):
@@ -1242,7 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = augment_spline(_events(sf_dir), "value", df=5, degree=3,
                             knots=[100.0, 250.0], boundary_knots=(0.0, 500.0))
         cols = [f"value_spline_{i}" for i in range(1, 6)]
-        ds = _round_cols(ds, cols)
+        ds = _round_cols(ds, cols, canon_zero=True)
         return ds.select_columns(["event_id"] + cols)
 
     def wavelet(sf_dir):
@@ -2041,7 +2048,10 @@ def _bspline_sql(knots, lo, hi, degree=3, df=5, digits=6) -> str:
     outs = []
     for i in range(df):
         c = cols.get((degree, i))
-        outs.append(f"ROUND({c if c else '0.0'}, {digits}) AS value_spline_{i + 1}")
+        # `+ 0`: fold -0.0 -> +0.0 (basis terms outside support multiply a
+        # negative ratio into 0.0); the numpy kernel emits +0.0 there
+        outs.append(f"ROUND({c if c else '0.0'}, {digits}) + 0 "
+                    f"AS value_spline_{i + 1}")
     return f"WITH {', '.join(ctes)} SELECT event_id, {', '.join(outs)} FROM {prev}"
 
 
@@ -3755,14 +3765,16 @@ def oracle_sql() -> dict[str, str]:
         "sessions": """
             WITH d AS (
                 SELECT event_id, user_id, ts,
-                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                  > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
                 FROM events
             )
             SELECT event_id, user_id,
-                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                   -- CAST: SUM -> HUGEINT -> pandas float64; the driver's
+                   -- value hash is type-sensitive (int64 2 != double 2.0)
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
             FROM d
         """,
         "fin_roc_drawdown": """
@@ -3923,7 +3935,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.user_id, b.length,
                    ROUND(a1.acf1, 6) AS acf1,
-                   cp.crossing_points,
+                   CAST(cp.crossing_points AS BIGINT) AS crossing_points,
                    ROUND(sl.stability, 3) AS stability,
                    ROUND(sl.lumpiness, 3) AS lumpiness
             FROM base b

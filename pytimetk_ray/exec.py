@@ -72,9 +72,21 @@ def _add_part_arrow(batch: pa.Table, keys: Sequence[str], num_partitions: int,
                 else col)
             if isinstance(dic, pa.ChunkedArray):
                 dic = dic.combine_chunks()
-            codes = dic.indices.to_numpy(zero_copy_only=False)
             uniq = dic.dictionary.to_pandas().to_numpy()
-            hk = pd.util.hash_array(uniq)[codes]
+            if dic.indices.null_count:
+                # Null keys: indices.to_numpy would yield float64-with-NaN
+                # (not indexable).  Fill nulls with a sentinel code mapping
+                # to pd.util.hash_array's None hash (2**64-1), keeping
+                # partition ids bit-identical to the old full-column path.
+                codes = pc.fill_null(dic.indices, len(uniq)).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                uniq_h = np.concatenate(
+                    [pd.util.hash_array(uniq),
+                     pd.util.hash_array(np.array([None], dtype=object))])
+                hk = uniq_h[codes]
+            else:
+                codes = dic.indices.to_numpy(zero_copy_only=False)
+                hk = pd.util.hash_array(uniq)[codes]
         else:
             hk = pd.util.hash_array(col.to_pandas().to_numpy())
         h = h * np.uint64(1000003) + hk

@@ -285,14 +285,29 @@ class SpaceSaving:
         return self
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        # Agarwal et al. (PODS 2012) combine: an item tracked in only ONE
+        # summary may have occurrences absorbed into the other summary's
+        # evicted mass — offset it by the other's minimum count (0 when the
+        # other is below capacity, i.e. exact: untracked => true count 0).
+        # Keeps `count >= true_count` in the approximate regime; the exact
+        # regime (oracle twin) is unchanged.
+        m_self = (min(self.counts.values())
+                  if len(self.counts) >= self.capacity else 0)
+        m_other = (min(other.counts.values())
+                   if len(other.counts) >= other.capacity else 0)
+        if m_other:
+            for it in self.counts:
+                if it not in other.counts:
+                    self.counts[it] += m_other
+                    self.errs[it] += m_other
         for it, c in other.counts.items():
             e = other.errs[it]
             if it in self.counts:
                 self.counts[it] += c
                 self.errs[it] += e
             else:
-                self.counts[it] = c
-                self.errs[it] = e
+                self.counts[it] = c + m_self
+                self.errs[it] = e + m_self
         if len(self.counts) > self.capacity:
             # keep the top-capacity by count (ties: item asc, stable);
             # evicted mass raises the retained floor like single-stream

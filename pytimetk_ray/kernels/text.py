@@ -165,6 +165,20 @@ def md5_u64_many(strings) -> np.ndarray:
                        count=len(strings))
 
 
+def md5_u64_pair_many(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Both 64-bit halves of the md5 digest per string, matching DuckDB
+    ``(md5_number_upper(s), md5_number_lower(s))``: bytes 0..8 and 8..16,
+    little-endian.  A 128-bit key makes window-hash collisions negligible
+    at any corpus size (birthday bound ~1e-14 at 10^12 windows)."""
+    hi = np.empty(len(strings), dtype=np.uint64)
+    lo = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        hi[i] = int.from_bytes(d[0:8], "little")
+        lo[i] = int.from_bytes(d[8:16], "little")
+    return hi, lo
+
+
 def shingle_strings(text: str, k: int = 3) -> list[str]:
     """Word k-shingle strings (space-joined); <k words -> one joined shingle;
     no words -> [].  Mirrors the SQL generate_series shingle expansion."""

@@ -19,6 +19,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -54,6 +55,20 @@ def aggregate_grouping_sets(
     with ``fill`` — the COALESCE sentinel the SQL oracle also uses),
     ``n_rows`` and ``<value_column>_sum``.
     """
+    sch = ds.schema()
+    t = sch.types[sch.names.index(value_column)]
+    if isinstance(t, pa.DataType):
+        is_int = pa.types.is_integer(t)
+    else:  # pandas-block schema: numpy or pandas extension dtype
+        try:
+            is_int = np.dtype(t).kind in "iu"
+        except TypeError:
+            is_int = getattr(t, "kind", "?") in "iu"
+    if not is_int:
+        raise TypeError(
+            f"aggregate_grouping_sets requires an integer value column for "
+            f"exact partial-sum combining; {value_column!r} is {t}. "
+            f"Cast/round upstream, or sum floats with summarize_by_time.")
     sets = [tuple(s) for s in sets]
     all_keys: list[str] = []
     for s in sets:

@@ -5,10 +5,11 @@ Reference: src/pytimetk/feature_engineering/holiday_signature.py:33-46
 ``before_holiday`` / ``after_holiday`` are +/-1-day shifts of membership).
 
 The reference uses the ``holidays`` package (not in this environment);
-built-in algorithmic calendars stand in for ten country codes
-(US/UK/GB/DE/FR/CA/AU/ES/IT/NL — fixed dates, nth-weekday rules, Easter
-computus, weekend-substitute rules), and any installed ``holidays``
-package is used when present (import-try) for every other country code.  The calendar is an
+built-in algorithmic calendars stand in for fourteen country codes
+(US/UK/GB/DE/FR/CA/AU/ES/IT/NL/JP/BR/IN/MX — fixed dates, nth-weekday
+rules, Easter computus, equinox approximation, weekend-substitute rules),
+and any installed ``holidays`` package is used when present (import-try)
+for every other country code.  The calendar is an
 ACTOR-POOL state: built once per worker in ``__init__`` (the reference
 rebuilds it per call — SURVEY.md §2.2 maps that to actor state)."""
 
@@ -239,6 +240,114 @@ def nl_holidays(year: int) -> dict[dt.date, str]:
     }
 
 
+def _jp_equinox(year: int, vernal: bool) -> dt.date:
+    """Japanese equinox holidays via the published approximation
+    (valid 1980-2099): day = floor(D + 0.242194*(y-1980)) - floor((y-1980)/4)
+    with D = 20.8431 (vernal, March) / 23.2488 (autumnal, September)."""
+    d0 = 20.8431 if vernal else 23.2488
+    day = int(d0 + 0.242194 * (year - 1980)) - (year - 1980) // 4
+    return dt.date(year, 3 if vernal else 9, day)
+
+
+def jp_holidays(year: int) -> dict[dt.date, str]:
+    """Japanese public holidays (Public Holiday Law rules, post-2020 set:
+    Sports Day naming, Feb 23 Emperor's Birthday, Aug 11 Mountain Day),
+    with the two statutory extension rules applied: furikae kyujitsu (a
+    holiday on Sunday rolls to the next non-holiday weekday) and kokumin
+    no kyujitsu (a workday sandwiched between two holidays becomes one —
+    the Silver Week bridge).  One-off observances (Olympic-year moves,
+    era-transition days) are out of scope."""
+    cal = {
+        dt.date(year, 1, 1): "New Year's Day",
+        _nth_weekday(year, 1, 0, 2): "Coming of Age Day",
+        dt.date(year, 2, 11): "National Foundation Day",
+        _jp_equinox(year, True): "Vernal Equinox Day",
+        dt.date(year, 4, 29): "Showa Day",
+        dt.date(year, 5, 3): "Constitution Memorial Day",
+        dt.date(year, 5, 4): "Greenery Day",
+        dt.date(year, 5, 5): "Children's Day",
+        _nth_weekday(year, 7, 0, 3): "Marine Day",
+        _nth_weekday(year, 9, 0, 3): "Respect for the Aged Day",
+        _jp_equinox(year, False): "Autumnal Equinox Day",
+        _nth_weekday(year, 10, 0, 2): "Sports Day",
+        dt.date(year, 11, 3): "Culture Day",
+        dt.date(year, 11, 23): "Labor Thanksgiving Day",
+    }
+    if year >= 2020:
+        cal[dt.date(year, 2, 23)] = "Emperor's Birthday"
+    if year >= 2016:
+        cal[dt.date(year, 8, 11)] = "Mountain Day"
+    # furikae kyujitsu: Sunday holiday -> next day not already a holiday
+    for d in sorted(cal):
+        if d.weekday() == 6:
+            sub = d + dt.timedelta(days=1)
+            while sub in cal:
+                sub += dt.timedelta(days=1)
+            cal[sub] = cal[d] + " (observed)"
+    # kokumin no kyujitsu: single workday between two holidays
+    for d in sorted(cal):
+        mid = d + dt.timedelta(days=1)
+        if mid not in cal and (d + dt.timedelta(days=2)) in cal \
+                and mid.weekday() != 6:
+            cal[mid] = "Citizens' Holiday"
+    return cal
+
+
+def br_holidays(year: int) -> dict[dt.date, str]:
+    """Brazilian NATIONAL statutory holidays (feriados nacionais): the
+    eight fixed dates plus Good Friday; Dia da Consciencia Negra is
+    national law from 2024.  Carnival and Corpus Christi are customary,
+    not statutory — excluded (matches the ``holidays`` package default)."""
+    e = easter(year)
+    cal = {
+        dt.date(year, 1, 1): "Confraternizacao Universal",
+        e - dt.timedelta(days=2): "Sexta-feira Santa",
+        dt.date(year, 4, 21): "Tiradentes",
+        dt.date(year, 5, 1): "Dia do Trabalhador",
+        dt.date(year, 9, 7): "Independencia do Brasil",
+        dt.date(year, 10, 12): "Nossa Senhora Aparecida",
+        dt.date(year, 11, 2): "Finados",
+        dt.date(year, 11, 15): "Proclamacao da Republica",
+        dt.date(year, 12, 25): "Natal",
+    }
+    if year >= 2024:
+        cal[dt.date(year, 11, 20)] = "Dia Nacional de Zumbi e da "\
+            "Consciencia Negra"
+    return cal
+
+
+def in_holidays(year: int) -> dict[dt.date, str]:
+    """Indian NATIONAL holidays — the three gazetted nationwide dates.
+    Religious festival holidays follow lunar calendars and vary by state
+    and by year-specific gazette; they are out of algorithmic scope (the
+    optional ``holidays`` package covers them when installed)."""
+    return {
+        dt.date(year, 1, 26): "Republic Day",
+        dt.date(year, 8, 15): "Independence Day",
+        dt.date(year, 10, 2): "Gandhi Jayanti",
+    }
+
+
+def mx_holidays(year: int) -> dict[dt.date, str]:
+    """Mexican statutory holidays (Ley Federal del Trabajo art. 74):
+    fixed dates plus the three Monday-rule holidays; the sexennial
+    presidential-transmission day (2024, 2030, ... — Oct 1 from 2024 on,
+    Dec 1 for earlier cycles)."""
+    cal = {
+        dt.date(year, 1, 1): "Ano Nuevo",
+        _nth_weekday(year, 2, 0, 1): "Dia de la Constitucion",
+        _nth_weekday(year, 3, 0, 3): "Natalicio de Benito Juarez",
+        dt.date(year, 5, 1): "Dia del Trabajo",
+        dt.date(year, 9, 16): "Dia de la Independencia",
+        _nth_weekday(year, 11, 0, 3): "Revolucion Mexicana",
+        dt.date(year, 12, 25): "Navidad",
+    }
+    if year % 6 == 2024 % 6:
+        cal[dt.date(year, 10, 1) if year >= 2024 else dt.date(year, 12, 1)
+            ] = "Transmision del Poder Ejecutivo Federal"
+    return cal
+
+
 _BUILTIN_CALENDARS = {
     "US": us_federal_holidays,
     "UK": uk_holidays,
@@ -250,6 +359,10 @@ _BUILTIN_CALENDARS = {
     "ES": es_holidays,
     "IT": it_holidays,
     "NL": nl_holidays,
+    "JP": jp_holidays,
+    "BR": br_holidays,
+    "IN": in_holidays,
+    "MX": mx_holidays,
 }
 
 

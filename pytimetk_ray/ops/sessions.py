@@ -31,10 +31,17 @@ def augment_sessions(
     *,
     gap: str = "30 minutes",
     session_column: str = "session_id",
+    tiebreakers: Sequence[str] = (),
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> rd.Dataset:
     """Append ``session_column``: 0-based session index within each group
-    (a new session starts when the time since the previous row > ``gap``)."""
+    (a new session starts when the time since the previous row > ``gap``).
+
+    ``tiebreakers``: extra sort columns applied after ``date_column``.  With
+    tied timestamps the row that carries a ``gap > threshold`` break depends
+    on row order; np.lexsort is stable w.r.t. *block arrival order*, which is
+    nondeterministic across runs — pass a unique column (e.g. an event id)
+    to make session assignment total-order deterministic."""
     group_keys = list(group_keys)
     gap_ns = parse_freq(gap).step_ns()
 
@@ -62,6 +69,7 @@ def augment_sessions(
         return part
 
     return partitioned_group_map(
-        ds, group_keys, kernel, sort_by=group_keys + [date_column],
+        ds, group_keys, kernel,
+        sort_by=group_keys + [date_column] + list(tiebreakers),
         num_partitions=num_partitions if group_keys else 1,
     )

@@ -115,6 +115,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     hasher: str = "md5",
     num_partitions: int = DEDUP_PARTITIONS,
+    max_bucket: int = 100_000,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard >= threshold.
 
@@ -124,6 +125,14 @@ def minhash_lsh_pairs(
     one vectorized ``drop_duplicates`` per (id_a,)-keyed partition — the
     estimated Jaccard of a pair is band-independent (computed from the full
     signature), so keeping any one surfaced row is deterministic.
+
+    ``max_bucket`` caps any one band bucket's membership (ids ascending, so
+    the kept prefix is deterministic): a degenerate bucket — e.g. a
+    boilerplate-identical shard of the corpus — would otherwise generate
+    O(bucket²·num_perm) work in a single task.  Signature comparison within
+    a bucket is CHUNKED (block × n × perm, ~64 MiB ceiling) so task memory
+    stays bounded no matter the bucket size, mirroring
+    ``similarity.embedding_neardup_lsh``.
 
     ``hasher="md5"`` (default) hashes shingle STRINGS with the DuckDB-
     matchable ``md5_number_lower`` u64 and applies TRUE (a*x+b) mod (2^61-1)
@@ -179,18 +188,30 @@ def minhash_lsh_pairs(
             seg_ids = ids[lo:hi]  # ascending (sort_by includes id)
             keep = np.r_[True, seg_ids[1:] != seg_ids[:-1]]
             seg_ids = seg_ids[keep]
+            seg_sigs = sig_col[lo:hi][keep]
             n = len(seg_ids)
             if n < 2:
                 continue
-            S = np.stack([np.frombuffer(s, dtype=np.uint64)
-                          for s in sig_col[lo:hi][keep]])
-            eq = (S[:, None, :] == S[None, :, :]).mean(axis=2)
-            iu = np.triu_indices(n, k=1)
-            ej = eq[iu]
-            mask = ej >= threshold
-            ra.append(seg_ids[iu[0][mask]])
-            rb.append(seg_ids[iu[1][mask]])
-            rj.append(ej[mask])
+            if n > max_bucket:  # deterministic cap (ids ascending)
+                n = max_bucket
+                seg_ids, seg_sigs = seg_ids[:n], seg_sigs[:n]
+            S = np.frombuffer(b"".join(seg_sigs), dtype=np.uint64
+                              ).reshape(n, -1)
+            perm = S.shape[1]
+            # chunked upper-triangle compare: (block, n, perm) bool stays
+            # under ~64 MiB; never materialize the full n x n x perm cube
+            block = max(1, 64_000_000 // max(1, n * perm))
+            col = np.arange(n)
+            for s0 in range(0, n - 1, block):
+                s1 = min(s0 + block, n - 1)
+                ej = (S[s0:s1, None, :] == S[None, :, :]).mean(axis=2)
+                rr, cc = np.nonzero(
+                    (ej >= threshold)
+                    & (col[None, :] > (s0 + np.arange(s1 - s0))[:, None]))
+                if len(rr):
+                    ra.append(seg_ids[s0 + rr])
+                    rb.append(seg_ids[cc])
+                    rj.append(ej[rr, cc])
         if not ra:
             return _empty_pairs("est_jaccard")
         return pd.DataFrame({
@@ -451,16 +472,18 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     num_partitions: int = DEDUP_PARTITIONS,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Exact Jaccard over word-shingle sets for candidate pairs — the
     join-based scale path: docs are reduced to sorted shingle-hash arrays
     once, then candidate pairs pick up each side's set via two keyed
     co-partition merges (pairs ⋈ sets on id_a, then on id_b).  Neither the
-    texts nor the sets ever gather on the driver; only the verified pair
-    rows (small by construction — LSH already pruned) are returned."""
+    texts nor the sets nor the verified pairs ever gather on the driver:
+    the result is a DATASET of (id_a, id_b, jaccard) rows (verified-pair
+    volume scales with the corpus duplication rate, not LSH selectivity —
+    callers that want a frame call ``.to_pandas()`` on their own risk)."""
     if isinstance(candidate_pairs, pd.DataFrame):
         if len(candidate_pairs) == 0:
-            return _empty_pairs("jaccard")
+            return rd.from_pandas(_empty_pairs("jaccard"))
         cand = rd.from_pandas(candidate_pairs[["id_a", "id_b"]])
     else:
         cand = candidate_pairs.select_columns(["id_a", "id_b"])
@@ -527,10 +550,7 @@ def ngram_jaccard_pairs(
                             "jaccard": ja})
         return out[out["jaccard"] >= threshold]
 
-    verified = step2.map_batches(verify, batch_format="pandas").to_pandas()
-    if len(verified) == 0:
-        return _empty_pairs("jaccard")
-    return verified.sort_values(["id_a", "id_b"], ignore_index=True)
+    return step2.map_batches(verify, batch_format="pandas")
 
 
 def jaccard_allpairs(

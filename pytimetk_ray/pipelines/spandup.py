@@ -31,7 +31,8 @@ Scale shape
 
 At 64-bit hashing, ~10^11 distinct windows give ~3e-2 corpus-wide collision
 probability (birthday bound); a collision removes one innocent window.
-Widen ``h`` to md5 digest bytes for exact guarantees at that scale.
+``wide_hash=True`` keys by the full 128-bit md5 digest instead (two u64
+columns) — collision probability ~1e-14 at 10^12 windows.
 
 Oracle: pure SQL — windows via list_slice over the split word array,
 duplicated window strings via GROUP BY HAVING, coverage via a range join,
@@ -46,6 +47,7 @@ import pandas as pd
 import ray.data as rd
 
 from pytimetk_ray.exec import group_starts, partitioned_group_map
+from pytimetk_ray.kernels import text as tx
 
 _SIDE = "__side__"
 
@@ -62,6 +64,7 @@ def dedup_spans(
     window_words: int = 8,
     min_count: int = 2,
     num_partitions: int = 32,
+    wide_hash: bool = False,
 ) -> rd.Dataset:
     """Remove every token covered by a corpus-duplicated W-word window.
 
@@ -73,6 +76,13 @@ def dedup_spans(
     input when nothing was removed and the text is single-spaced).
     Documents shorter than ``window_words`` words have no windows and pass
     through untouched.
+
+    ``wide_hash=True`` keys windows by the full 128-bit md5 digest (two
+    u64 columns, DuckDB ``md5_number_upper/lower``-matchable) instead of
+    the 64-bit ``pd.util.hash_array`` — at 10^11+ distinct windows the
+    64-bit birthday bound (~3e-2 corpus-wide) starts removing innocent
+    text on collision; 128 bits makes that ~1e-14.  ~2x window hashing
+    cost, identical shuffle shape (one extra int64 column).
     """
     w = int(window_words)
 
@@ -87,22 +97,36 @@ def dedup_spans(
             ids.extend([i] * len(ws))
             ss.extend(range(len(ws)))
             wins.extend(ws)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_column: pd.Series(ids, dtype=batch[id_column].dtype),
             "s": np.asarray(ss, dtype=np.int64),
-            "h": pd.util.hash_array(np.asarray(wins, dtype=object)),
         })
+        if wide_hash:
+            hi, lo = tx.md5_u64_pair_many(wins)
+            out["h"] = hi.view(np.int64)
+            out["h2"] = lo.view(np.int64)
+        else:
+            out["h"] = pd.util.hash_array(np.asarray(wins, dtype=object))
+        return out
 
     def elect_removals(part: pd.DataFrame) -> pd.DataFrame:
         h = part["h"].to_numpy()
-        starts = group_starts(h)
+        if wide_hash:
+            h2 = part["h2"].to_numpy()
+            change = np.empty(len(h), dtype=bool)
+            change[0] = True
+            np.logical_or(h[1:] != h[:-1], h2[1:] != h2[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+        else:
+            starts = group_starts(h)
         sizes = np.diff(np.append(starts, len(h)))
         in_dup = np.repeat(sizes >= min_count, sizes)
         return part.loc[in_dup, [id_column, "s"]].reset_index(drop=True)
 
+    sort_cols = ["h", "h2"] if wide_hash else ["h"]
     removals = partitioned_group_map(
         ds.map_batches(explode, batch_format="pandas"),
-        ["h"], elect_removals, sort_by=["h"],
+        ["h"], elect_removals, sort_by=sort_cols,
         num_partitions=num_partitions)
 
     def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:

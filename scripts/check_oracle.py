@@ -35,8 +35,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == np.float32:
             df[c] = df[c].astype(np.float64)
-        elif str(df[c].dtype) in ("Float64", "Int64"):
-            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        elif str(df[c].dtype) == "Float64":
+            # nullable float -> numpy float64, <NA> -> NaN (the driver's
+            # Arrow compare treats mine-<NA> == oracle-NULL == .df()-NaN)
+            df[c] = df[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        elif str(df[c].dtype) == "Int64":
+            if df[c].isna().any():
+                df[c] = df[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            else:
+                df[c] = df[c].to_numpy(dtype=np.int64)
         elif df[c].dtype.kind in "iu":
             df[c] = df[c].astype(np.int64)
     df = df[sorted(df.columns)]
@@ -44,6 +51,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
+    """Driver-strict compare: the driver hashes typed VALUE BYTES, so this
+    must be at least as strict — dtype KIND must match after canonicalization
+    (int64 2 vs double 2.0 is a FAIL: forgot CAST(... AS BIGINT) in the SQL),
+    and float columns compare byte-exact with NaN canonicalized (-0.0 vs 0.0
+    is a FAIL — round-3 lesson: spline_sql was 'flaky' for exactly this)."""
     if len(mine) != len(oracle):
         return f"ROWS {len(mine)} != {len(oracle)}"
     if sorted(mine.columns) != sorted(oracle.columns):
@@ -51,14 +63,23 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
     a, b = canon(mine), canon(oracle)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if a[c].dtype.kind == "f":
-            ok = np.array_equal(av, bv, equal_nan=True)
+        ak = a[c].dtype.kind if a[c].dtype != object else "O"
+        bk = b[c].dtype.kind if b[c].dtype != object else "O"
+        if ak != bk:
+            return f"DTYPE mismatch col={c} mine={a[c].dtype} oracle={b[c].dtype}"
+        if ak == "f":
+            ab = av.copy()
+            bb = bv.copy()
+            ab[np.isnan(ab)] = np.nan  # canonical quiet-NaN bit pattern
+            bb[np.isnan(bb)] = np.nan
+            neq = ab.view(np.uint64) != bb.view(np.uint64)
+            ok = not neq.any()
+            bad = np.flatnonzero(neq)[:3]
         else:
-            ok = (pd.Series(av).fillna("__N__") == pd.Series(bv).fillna("__N__")).all()
+            eqs = (pd.Series(av).fillna("__N__") == pd.Series(bv).fillna("__N__"))
+            ok = eqs.all()
+            bad = np.flatnonzero(~eqs.to_numpy())[:3]
         if not ok:
-            bad = np.flatnonzero(
-                ~(pd.Series(av).fillna("__N__") == pd.Series(bv).fillna("__N__")).to_numpy()
-            )[:3]
             return f"VAL mismatch col={c} rows={bad.tolist()} mine={av[bad[:1]]} oracle={bv[bad[:1]]}"
     return "OK"
 

@@ -66,7 +66,9 @@ def test_ngram_jaccard_verify(docs_df):
             "id_b": docs_df.head(3)["doc_id"].to_numpy() + 2_000_000,
         }
     )
-    verified = ngram_jaccard_pairs(rd.from_pandas(docs_df), cand, threshold=0.3)
+    verified = ngram_jaccard_pairs(
+        rd.from_pandas(docs_df), cand, threshold=0.3
+    ).to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
     assert len(verified) == 3
     assert (verified["jaccard"] > 0.3).all()
 
