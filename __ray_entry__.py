@@ -334,6 +334,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "user_id", "value_rolling_sum_win_4", "value_rolling_mean_win_4"]
         )
 
+    def rolling_quantile(sf_dir):
+        # pd_quantile configurable tuples (reference pandas_helpers.py:333)
+        # with the midpoint default: (k-th + k2-th order stat)/2 is the SAME
+        # expression as DuckDB (quantile_disc+quantile_disc)/2 -> UNROUNDED
+        # bit-equal (linear interpolation is NOT: pandas lerp differs in ULP)
+        from pytimetk_ray.ops.rolling import pd_quantile
+
+        cols = [f"value_rolling_quantile_{p}_win_10" for p in (75, 50, 30)]
+        ds = tk.augment_rolling(
+            _events(sf_dir), ["user_id"], ["ts"], "value", window=10,
+            window_func=[("quantile_75", pd_quantile(q=0.75)),
+                         ("quantile_50", pd_quantile(q=0.5)),
+                         ("quantile_30", pd_quantile(q=0.3))],
+        )
+        ds = _nan_to_null(ds, cols)
+        return ds.select_columns(["event_id", "user_id"] + cols)
+
     def augment_expanding(sf_dir):
         ds = tk.augment_expanding(
             _events(sf_dir), ["user_id"], ["ts"], "value", window_func=["sum", "count"]
@@ -1137,6 +1154,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   "before_holiday", "after_holiday",
                                   "holiday_name"])
 
+    def holiday_signature_4ctry(sf_dir):
+        # JP (furikae-substitute rules) + MX (Monday-rule + sexennial) +
+        # BR + IN builtin calendars over a 2024-2025 daily grid; oracle
+        # lists the hand-derived official dates
+        import ray.data as rd2
+
+        days = pd.date_range("2024-01-01", "2025-12-31", freq="D").astype(
+            "datetime64[us]")
+        parts = []
+        for ctry in ("JP", "MX", "BR", "IN"):
+            d = rd2.from_pandas(pd.DataFrame({"d": days}))
+            t = augment_holiday_signature(d, "d", country=ctry, concurrency=2)
+            t = t.map_batches(
+                lambda b, c=ctry: b.assign(country=c), batch_format="pandas")
+            parts.append(t)
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        ds = _cast_int64(ds, ["is_holiday", "before_holiday", "after_holiday"])
+        return ds.select_columns(["country", "d", "is_holiday",
+                                  "before_holiday", "after_holiday",
+                                  "holiday_name"])
+
     def augment_pct_change(sf_dir):
         ds = tk.augment_pct_change(_events(sf_dir), ["user_id"], ["ts"], "value", periods=1)
         ds = _nan_to_null(ds, ["value_pctdiff_1"])
@@ -1783,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_risk_bench": fin_risk_bench,
         "fin_risk_log": fin_risk_log,
         "holiday_signature_multi": holiday_signature_multi,
+        "holiday_signature_4ctry": holiday_signature_4ctry,
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
         "dsir_resample": dsir_resample_q,
@@ -1826,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_leads": augment_leads,
         "augment_diffs": augment_diffs,
         "augment_rolling": augment_rolling,
+        "rolling_quantile": rolling_quantile,
         "augment_expanding": augment_expanding,
         "augment_ewm": augment_ewm,
         "pad_by_time_daily": pad_by_time_daily,
@@ -2952,6 +2994,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS value_rolling_mean_win_4
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
+        "rolling_quantile": """
+            -- midpoint quantile = mean of the two bracketing order stats of
+            -- the 10-row window; quantile_disc(p=(k+0.5)/10) selects the
+            -- 0-based k-th smallest exactly.  idx=(10-1)*q: q=.75 -> (6,7),
+            -- q=.5 -> (4,5), q=.3 -> (2,3).  Same (a+b)/2 expression as the
+            -- pandas midpoint kernel -> UNROUNDED bit-equal.
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN (quantile_disc(value, 0.65) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                            + quantile_disc(value, 0.75) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) / 2
+                   END AS value_rolling_quantile_75_win_10,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN (quantile_disc(value, 0.45) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                            + quantile_disc(value, 0.55) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) / 2
+                   END AS value_rolling_quantile_50_win_10,
+                   CASE WHEN ROW_NUMBER() OVER w >= 10
+                        THEN (quantile_disc(value, 0.25) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                            + quantile_disc(value, 0.35) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) / 2
+                   END AS value_rolling_quantile_30_win_10
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
         "augment_expanding": """
             SELECT event_id, user_id,
                    ROUND(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
@@ -3751,6 +3814,117 @@ def oracle_sql() -> dict[str, str]:
                                               INTERVAL 1 DAY)) AS d
             ),
             cc(country) AS (VALUES ('UK'), ('DE'))
+            SELECT cc.country, days.d,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE)) AS BIGINT) AS is_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) + 1) AS BIGINT) AS before_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) - 1) AS BIGINT) AS after_holiday,
+                   (SELECT name FROM cal WHERE cal.country = cc.country
+                    AND cal.hd = CAST(days.d AS DATE)) AS holiday_name
+            FROM days CROSS JOIN cc
+        """,
+        "holiday_signature_4ctry": """
+            -- hand-derived official 2024-2025 calendars: JP (Public Holiday
+            -- Law incl. furikae substitutes; equinoxes 2024-03-20/09-22,
+            -- 2025-03-20/09-23), MX (LFT art. 74 Monday rules + 2024-10-01
+            -- sexennial transmission), BR (feriados nacionais + Good Friday
+            -- 2024-03-29 / 2025-04-18; Consciencia Negra from 2024), IN
+            -- (three gazetted national dates); 2026-01-01 closes the range
+            WITH cal(country, hd, name) AS (
+                VALUES
+                ('JP', DATE '2024-01-01', 'New Year''s Day'),
+                ('JP', DATE '2024-01-08', 'Coming of Age Day'),
+                ('JP', DATE '2024-02-11', 'National Foundation Day'),
+                ('JP', DATE '2024-02-12', 'National Foundation Day (observed)'),
+                ('JP', DATE '2024-02-23', 'Emperor''s Birthday'),
+                ('JP', DATE '2024-03-20', 'Vernal Equinox Day'),
+                ('JP', DATE '2024-04-29', 'Showa Day'),
+                ('JP', DATE '2024-05-03', 'Constitution Memorial Day'),
+                ('JP', DATE '2024-05-04', 'Greenery Day'),
+                ('JP', DATE '2024-05-05', 'Children''s Day'),
+                ('JP', DATE '2024-05-06', 'Children''s Day (observed)'),
+                ('JP', DATE '2024-07-15', 'Marine Day'),
+                ('JP', DATE '2024-08-11', 'Mountain Day'),
+                ('JP', DATE '2024-08-12', 'Mountain Day (observed)'),
+                ('JP', DATE '2024-09-16', 'Respect for the Aged Day'),
+                ('JP', DATE '2024-09-22', 'Autumnal Equinox Day'),
+                ('JP', DATE '2024-09-23', 'Autumnal Equinox Day (observed)'),
+                ('JP', DATE '2024-10-14', 'Sports Day'),
+                ('JP', DATE '2024-11-03', 'Culture Day'),
+                ('JP', DATE '2024-11-04', 'Culture Day (observed)'),
+                ('JP', DATE '2024-11-23', 'Labor Thanksgiving Day'),
+                ('JP', DATE '2025-01-01', 'New Year''s Day'),
+                ('JP', DATE '2025-01-13', 'Coming of Age Day'),
+                ('JP', DATE '2025-02-11', 'National Foundation Day'),
+                ('JP', DATE '2025-02-23', 'Emperor''s Birthday'),
+                ('JP', DATE '2025-02-24', 'Emperor''s Birthday (observed)'),
+                ('JP', DATE '2025-03-20', 'Vernal Equinox Day'),
+                ('JP', DATE '2025-04-29', 'Showa Day'),
+                ('JP', DATE '2025-05-03', 'Constitution Memorial Day'),
+                ('JP', DATE '2025-05-04', 'Greenery Day'),
+                ('JP', DATE '2025-05-05', 'Children''s Day'),
+                ('JP', DATE '2025-05-06', 'Greenery Day (observed)'),
+                ('JP', DATE '2025-07-21', 'Marine Day'),
+                ('JP', DATE '2025-08-11', 'Mountain Day'),
+                ('JP', DATE '2025-09-15', 'Respect for the Aged Day'),
+                ('JP', DATE '2025-09-23', 'Autumnal Equinox Day'),
+                ('JP', DATE '2025-10-13', 'Sports Day'),
+                ('JP', DATE '2025-11-03', 'Culture Day'),
+                ('JP', DATE '2025-11-23', 'Labor Thanksgiving Day'),
+                ('JP', DATE '2025-11-24', 'Labor Thanksgiving Day (observed)'),
+                ('JP', DATE '2026-01-01', 'New Year''s Day'),
+                ('MX', DATE '2024-01-01', 'Ano Nuevo'),
+                ('MX', DATE '2024-02-05', 'Dia de la Constitucion'),
+                ('MX', DATE '2024-03-18', 'Natalicio de Benito Juarez'),
+                ('MX', DATE '2024-05-01', 'Dia del Trabajo'),
+                ('MX', DATE '2024-09-16', 'Dia de la Independencia'),
+                ('MX', DATE '2024-10-01', 'Transmision del Poder Ejecutivo Federal'),
+                ('MX', DATE '2024-11-18', 'Revolucion Mexicana'),
+                ('MX', DATE '2024-12-25', 'Navidad'),
+                ('MX', DATE '2025-01-01', 'Ano Nuevo'),
+                ('MX', DATE '2025-02-03', 'Dia de la Constitucion'),
+                ('MX', DATE '2025-03-17', 'Natalicio de Benito Juarez'),
+                ('MX', DATE '2025-05-01', 'Dia del Trabajo'),
+                ('MX', DATE '2025-09-16', 'Dia de la Independencia'),
+                ('MX', DATE '2025-11-17', 'Revolucion Mexicana'),
+                ('MX', DATE '2025-12-25', 'Navidad'),
+                ('MX', DATE '2026-01-01', 'Ano Nuevo'),
+                ('BR', DATE '2024-01-01', 'Confraternizacao Universal'),
+                ('BR', DATE '2024-03-29', 'Sexta-feira Santa'),
+                ('BR', DATE '2024-04-21', 'Tiradentes'),
+                ('BR', DATE '2024-05-01', 'Dia do Trabalhador'),
+                ('BR', DATE '2024-09-07', 'Independencia do Brasil'),
+                ('BR', DATE '2024-10-12', 'Nossa Senhora Aparecida'),
+                ('BR', DATE '2024-11-02', 'Finados'),
+                ('BR', DATE '2024-11-15', 'Proclamacao da Republica'),
+                ('BR', DATE '2024-11-20', 'Dia Nacional de Zumbi e da Consciencia Negra'),
+                ('BR', DATE '2024-12-25', 'Natal'),
+                ('BR', DATE '2025-01-01', 'Confraternizacao Universal'),
+                ('BR', DATE '2025-04-18', 'Sexta-feira Santa'),
+                ('BR', DATE '2025-04-21', 'Tiradentes'),
+                ('BR', DATE '2025-05-01', 'Dia do Trabalhador'),
+                ('BR', DATE '2025-09-07', 'Independencia do Brasil'),
+                ('BR', DATE '2025-10-12', 'Nossa Senhora Aparecida'),
+                ('BR', DATE '2025-11-02', 'Finados'),
+                ('BR', DATE '2025-11-15', 'Proclamacao da Republica'),
+                ('BR', DATE '2025-11-20', 'Dia Nacional de Zumbi e da Consciencia Negra'),
+                ('BR', DATE '2025-12-25', 'Natal'),
+                ('BR', DATE '2026-01-01', 'Confraternizacao Universal'),
+                ('IN', DATE '2024-01-26', 'Republic Day'),
+                ('IN', DATE '2024-08-15', 'Independence Day'),
+                ('IN', DATE '2024-10-02', 'Gandhi Jayanti'),
+                ('IN', DATE '2025-01-26', 'Republic Day'),
+                ('IN', DATE '2025-08-15', 'Independence Day'),
+                ('IN', DATE '2025-10-02', 'Gandhi Jayanti')
+            ),
+            days AS (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2025-12-31',
+                                              INTERVAL 1 DAY)) AS d
+            ),
+            cc(country) AS (VALUES ('JP'), ('MX'), ('BR'), ('IN'))
             SELECT cc.country, days.d,
                    CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
                                AND cal.hd = CAST(days.d AS DATE)) AS BIGINT) AS is_holiday,

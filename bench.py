@@ -152,6 +152,20 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         concurrency=max(num_cpus // 2, 1),
     ).count())
     extra["encode_points_per_sec"] = round(pts_1m / queries["tier_encode_1m"], 1)
+
+    # --- tier decode (read path: chunks -> tier rows) ----------------------
+    from pytimetk_ray.stages.tier_encoder import decode_chunks
+
+    encoded = rd.read_parquet(os.path.join(out_dir, "tier=1m")).map_batches(
+        TierEncoder, fn_constructor_kwargs=dict(tier="1m"),
+        batch_format="pandas", batch_size=None,
+        concurrency=max(num_cpus // 2, 1),
+    ).materialize()
+    timed_best2("tier_decode_1m", lambda: encoded.map_batches(
+        decode_chunks, batch_format="pandas", batch_size=None,
+    ).count())
+    extra["decode_points_per_sec"] = round(pts_1m / queries["tier_decode_1m"], 1)
+    del encoded
     shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
 
     # --- operator suite over transcripts -----------------------------------

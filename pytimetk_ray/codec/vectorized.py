@@ -206,8 +206,41 @@ def dod_encode_many(ts: np.ndarray, bounds) -> list[bytes]:
     return _assemble(widths, pays, widths[0::2] + widths[1::2], bounds)
 
 
-# --- fast decoders (verification path): word-window bit reads + bulk
-# --- zero-run emission.  Byte format identical to codec.gorilla/dod.
+# --- fast decoders: a minimal sequential STRUCTURAL scan (control bits
+# --- only — field offsets/widths/shifts per value), then one vectorized
+# --- payload gather + prefix reconstruction (np.bitwise_xor.accumulate for
+# --- Gorilla, double cumsum for DoD).  Byte format identical to
+# --- codec.gorilla/dod; ~5-10x the round-3 per-value-Python decoders.
+
+def _gather_fields(buf: np.ndarray, off: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Right-aligned <=64-bit fields at arbitrary bit offsets, vectorized:
+    each field lives inside the 72-bit window at its byte offset; combine
+    the window's first 8 bytes (big-endian u64) with byte 8 for the spill.
+    ``buf`` must be padded with >=9 trailing zero bytes."""
+    off = np.asarray(off, dtype=np.int64)
+    w64 = np.asarray(w, dtype=np.uint64)
+    b = off >> 3
+    s = (off & 7).astype(np.uint64)
+    win = buf[b[:, None] + np.arange(9)]
+    hi = win[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
+    lo = win[:, 8].astype(np.uint64)
+    x = (hi << s) | (lo >> (np.uint64(8) - s))
+    return x >> (np.uint64(64) - w64)
+
+
+def _padded(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob + b"\x00" * 9, dtype=np.uint8)
+
+
+def _word32_list(buf: np.ndarray) -> list:
+    """Python list of big-endian 32-bit windows at every BYTE offset:
+    any <=20-bit field at bit offset p reads as ONE list lookup
+    ``(w32[p >> 3] >> (32 - width - (p & 7))) & mask`` — the structural
+    scan's only per-token memory access.  O(len(blob)) to build."""
+    v = buf.astype(np.uint32)
+    w = (v[:-3] << 24) | (v[1:-2] << 16) | (v[2:-1] << 8) | v[3:]
+    return w.tolist()
+
 
 class _WordReader:
     """MSB-first bit reader over 64-bit words: any <=64-bit field costs at
@@ -235,7 +268,12 @@ class _WordReader:
         return ((first & ((1 << (64 - off)) - 1)) << rem) | lo
 
 
-def gorilla_decode_fast(blob: bytes, n: int) -> np.ndarray:
+# Scalar decoders (word-window bit reads + bulk zero-run emission): the
+# vectorized decoders below carry ~40 numpy-call fixed overhead per blob,
+# so tiny tier segments (a 1d-tier conversation may hold <10 points) use
+# these instead — crossover measured at ~256 values.
+
+def _gorilla_decode_scalar(blob: bytes, n: int) -> np.ndarray:
     """Decode ``n`` float64s; '0'-control runs (repeated values — constant
     count columns) are emitted in bulk via the precomputed set-bit index."""
     out = np.empty(n, dtype=np.uint64)
@@ -276,7 +314,7 @@ def gorilla_decode_fast(blob: bytes, n: int) -> np.ndarray:
     return out.view(np.float64)
 
 
-def dod_decode_fast(blob: bytes, n: int) -> np.ndarray:
+def _dod_decode_scalar(blob: bytes, n: int) -> np.ndarray:
     """Decode ``n`` int64 timestamps; zero delta-of-delta runs (regular
     grids) are emitted in bulk as an arithmetic sequence."""
     M = (1 << 64) - 1
@@ -329,4 +367,173 @@ def dod_decode_fast(blob: bytes, n: int) -> np.ndarray:
         t = int(seq[-1])
         i += run
         r.pos = p + run
+    return out
+
+
+def gorilla_decode_fast(blob: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` float64s.  Sequential work is ONLY the structural scan
+    (control bits + the 11-bit window headers that determine field widths);
+    mantissa payloads are gathered in one vectorized pass and values
+    reconstructed with a single xor-prefix (v[i] = v0 ^ xor[1] ^..^ xor[i]).
+    '0'-control runs (repeated values) skip in bulk via the set-bit index."""
+    if n < 256:
+        return _gorilla_decode_scalar(blob, n)
+    buf = _padded(blob)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    nbits = len(bits)
+    w32 = _word32_list(buf)
+    ones = None  # lazy: only needed when a zero-run actually occurs
+    ps: list[int] = []
+    idxs: list[int] = []
+    mlen = 0
+    p = 64
+    i = 1
+    last_k = 64   # adaptive bulk-probe size (recent '10'-run length)
+    scalar_since = 0  # scalar '10' tokens since the last bulk attempt
+    pair2 = None  # lazy: built on the first bulk probe
+    ar = None
+    ap, ai = ps.append, idxs.append
+    while i < n:
+        w = w32[p >> 3]
+        o = p & 7
+        t = (w >> (30 - o)) & 3
+        if t == 2:  # '10': reuse-window token — constant width 2+mlen
+            stride = 2 + mlen
+            # bulk-stride: between '11' events every '10' token has the
+            # same width, so candidate starts are ARITHMETIC; check their
+            # control bits vectorized and emit the whole run at once.
+            # Probe backoff: interleaved '10 0 10 0' streams fail every
+            # probe — drop to the scalar path and only re-probe every 256
+            # tokens (or after a window change).
+            if last_k > 2 or scalar_since >= 256:
+                scalar_since = 0
+                if pair2 is None:
+                    # 2-bit control at every position in ONE gather:
+                    # pair2[p] == 2 <=> bits (p, p+1) == '10'
+                    pair2 = (bits[:-1] << 1) | bits[1:]
+                    ar = np.arange(8192)
+                K = min(n - i, max(16, last_k * 2), 8192,
+                        (nbits - 2 - p) // stride + 1)
+                if K < 1:
+                    K = 1
+                cand = p + stride * ar[:K]
+                good = pair2[cand] == 2
+                k = int(good.argmin())
+                if good[k]:
+                    k = K  # argmin==0 with good[0] True: all K are '10'
+                elif k == 0:
+                    k = 1  # only past-nbits clamping; keep progress
+                ps.extend(cand[:k].tolist())
+                idxs.extend(range(i, i + k))
+                p += stride * k
+                i += k
+                last_k = k
+            else:
+                scalar_since += 1
+                ap(p)
+                ai(i)
+                p += stride
+                i += 1
+        elif t == 3:  # '11': parse the 6-bit mlen (advances the scan)
+            ap(p)
+            ai(i)
+            mlen = ((w >> (19 - o)) & 63) + 1
+            p += 13 + mlen
+            i += 1
+            last_k = 64  # window changed: re-enable bulk probing
+        elif t == 1:  # single '0' then a control: cheap skip
+            p += 1
+            i += 1
+        else:
+            # zero-run (>=2): xor stays 0 until the next set bit (bulk skip)
+            if ones is None:
+                ones = np.flatnonzero(bits)
+            j = np.searchsorted(ones, p)
+            nxt = int(ones[j]) if j < len(ones) else nbits
+            run = min(nxt - p, n - i)
+            i += run
+            p += run
+    xors = np.zeros(n, dtype=np.uint64)
+    if ps:
+        # classify tokens + window state vectorized: '11' tokens carry an
+        # 11-bit (lead,mlen) header; '10' tokens inherit the LAST '11'
+        # window (forward-fill via maximum.accumulate over event indices)
+        parr = np.array(ps, dtype=np.int64)
+        is_new = bits[parr + 1].astype(bool)
+        hdr = _gather_fields(buf, parr[is_new] + 2,
+                             np.full(int(is_new.sum()), 11, dtype=np.int64))
+        lead_new = (hdr >> np.uint64(6)).astype(np.int64)
+        mlen_new = (hdr & np.uint64(0x3F)).astype(np.int64) + 1
+        rank = np.cumsum(is_new) - 1  # last '11' at or before each token
+        # (>= 0 for every token: the first nonzero xor always opens a window)
+        lead_t = lead_new[rank]
+        mlen_t = mlen_new[rank]
+        offs = np.where(is_new, parr + 13, parr + 2)
+        fields = _gather_fields(buf, offs, mlen_t)
+        xors[np.array(idxs, dtype=np.int64)] = (
+            fields << (np.uint64(64) - lead_t.astype(np.uint64)
+                       - mlen_t.astype(np.uint64)))
+    xors[0] = _gather_fields(buf, [0], [64])[0]
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
+
+
+def dod_decode_fast(blob: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` int64 timestamps.  The structural scan is STATELESS
+    (DoD class prefixes fully determine field widths), so the loop only
+    walks control bits; payloads gather vectorized and the timestamps come
+    back as delta = d-prefix-sum, t = delta-prefix-sum — two np.cumsum
+    calls whose int64 wraparound matches the scalar codec's mod-2^64."""
+    if n < 256:
+        return _dod_decode_scalar(blob, n)
+    buf = _padded(blob)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    nbits = len(bits)
+    w32 = _word32_list(buf)
+    ones = None
+    ps: list[int] = []
+    idxs: list[int] = []
+    # DoD classes are STATELESS: one 4-bit prefix read fully determines the
+    # token width — the scan is one list lookup + a width-table hop
+    wtab = [0] * 8 + [9, 9, 9, 9, 12, 12, 16, 68]
+    p = 64 if n == 1 else 128
+    i = 2
+    ap, ai = ps.append, idxs.append
+    while i < n:
+        t = (w32[p >> 3] >> (28 - (p & 7))) & 15
+        if t & 8:
+            ap(p)
+            ai(i)
+            p += wtab[t]
+            i += 1
+        elif t & 4:  # '01xx': single zero DoD then a control
+            p += 1
+            i += 1
+        else:
+            # run of >=2 zero DoDs: constant delta — skip in bulk
+            if ones is None:
+                ones = np.flatnonzero(bits)
+            j = np.searchsorted(ones, p)
+            nxt = int(ones[j]) if j < len(ones) else nbits
+            run = min(nxt - p, n - i)
+            i += run
+            p += run
+    head = _gather_fields(buf, [0, 64], [64, 64]).view(np.int64)
+    if n == 1:
+        return head[:1].copy()
+    d = np.zeros(n, dtype=np.int64)
+    if ps:
+        parr = np.array(ps, dtype=np.int64)
+        b1 = bits[parr + 1] == 0
+        b2 = ~b1 & (bits[parr + 2] == 0)
+        b3 = ~b1 & ~b2 & (bits[parr + 3] == 0)
+        offs = parr + np.select([b1, b2, b3], [2, 3, 4], default=4)
+        ws = np.select([b1, b2, b3], [7, 9, 12], default=64)
+        biases = np.select([b1, b2, b3], [63, 255, 2047], default=0)
+        fields = _gather_fields(buf, offs, ws)
+        d[np.array(idxs, dtype=np.int64)] = fields.view(np.int64) - biases
+    deltas = np.cumsum(d)                    # d[0]=d[1]=0
+    deltas += head[1]                        # delta_i = delta0 + sum d[2..i]
+    deltas[0] = 0                            # no step into out[0]
+    out = np.cumsum(deltas)
+    out += head[0]
     return out

@@ -46,8 +46,15 @@ def augment_expanding(
         for col in cols:
             for f in funcs:
                 if isinstance(f, tuple):
+                    from pytimetk_ray.ops.rolling import (
+                        _is_configurable, _resolve_configurable)
+
                     name, fn = f
-                    vals = g[col].expanding(min_periods=min_periods).apply(fn, raw=True)
+                    exp = g[col].expanding(min_periods=min_periods)
+                    if _is_configurable(fn):
+                        vals = _resolve_configurable(fn, exp, quantile)
+                    else:
+                        vals = exp.apply(fn, raw=True)
                     out_name = f"{col}_expanding_{name}"
                     part[out_name] = vals.reset_index(drop=True).to_numpy()
                     continue

@@ -26,6 +26,38 @@ from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
 _BUILTINS = {"mean", "sum", "min", "max", "std", "var", "count", "median"}
 
 
+def pd_quantile(**kwargs):
+    """Configuration tuple for a rolling/expanding quantile — the
+    reference's 'configurable' function packaging (utils/pandas_helpers.py:
+    333-349): ``("quantile_75", pd_quantile(q=0.75))`` names the output
+    column ``{col}_rolling_quantile_75_win_{w}`` and forwards q /
+    interpolation to the pandas window quantile.  Default interpolation is
+    ``"midpoint"`` — reference parity."""
+    default_kwargs = {"q": None, "interpolation": "midpoint",
+                      "numeric_only": False}
+    return "configurable", "quantile", default_kwargs, kwargs
+
+
+def _resolve_configurable(spec, window_obj, default_q: float):
+    """Run a ('configurable', func_name, defaults, user) tuple against a
+    pandas Rolling/Expanding object; only keys already in the defaults are
+    honored (the reference's update_dict semantics)."""
+    _, func_name, default_kwargs, user_kwargs = spec
+    kw = dict(default_kwargs)
+    for k, v in user_kwargs.items():
+        if k in kw:
+            kw[k] = v
+    if func_name == "quantile":
+        q = kw["q"] if kw["q"] is not None else default_q
+        return window_obj.quantile(q, interpolation=kw["interpolation"])
+    kw = {k: v for k, v in kw.items() if v is not None}
+    return getattr(window_obj, func_name)(**kw)
+
+
+def _is_configurable(fn) -> bool:
+    return isinstance(fn, tuple) and len(fn) == 4 and fn[0] == "configurable"
+
+
 def _norm_windows(spec) -> list[int]:
     if isinstance(spec, int):
         return [spec]
@@ -103,7 +135,7 @@ def augment_rolling(
                 # are exactly those with row-in-group < w-1, which
                 # min_periods==w nulls anyway
                 _FAST = {"sum": np.sum, "mean": np.mean, "min": np.min, "max": np.max}
-                fast = [f for f in funcs if f in _FAST]
+                fast = [f for f in funcs if isinstance(f, str) and f in _FAST]
                 if fast and not center and mp == w and w <= 256:
                     v = part[col].to_numpy(dtype=np.float64)
                     if len(v) >= w and not np.isnan(v).any():
@@ -132,7 +164,10 @@ def augment_rolling(
                 for f in funcs_left:
                     if isinstance(f, tuple):
                         name, fn = f
-                        vals = roll.apply(fn, raw=True)
+                        if _is_configurable(fn):
+                            vals = _resolve_configurable(fn, roll, quantile)
+                        else:
+                            vals = roll.apply(fn, raw=True)
                         out_name = f"{col}_rolling_{name}_win_{w}"
                     elif f == "quantile":
                         vals = roll.quantile(quantile)

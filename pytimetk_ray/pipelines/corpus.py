@@ -518,11 +518,14 @@ def bigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
 
     class Term:
         def __init__(self, ref):
-            self.c1 = ref if isinstance(ref, dict) else ray.get(ref)
+            c1 = ref if isinstance(ref, dict) else ray.get(ref)
+            # pd.Series lookup table: .map() runs the w1 -> c1 gather in the
+            # pandas hashtable at C speed (the per-row dict loop was the one
+            # non-vectorized hot-path op the round-3 audit flagged)
+            self.c1 = pd.Series(c1, dtype=np.float64)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            c1v = np.fromiter((self.c1[w] for w in batch["w1"]),
-                              dtype=np.float64, count=len(batch))
+            c1v = batch["w1"].map(self.c1).to_numpy(np.float64)
             p = (batch["c12"].to_numpy(np.float64) + 1.0) / (c1v + denom_add)
             k = batch["k"].to_numpy(np.float64)
             return pd.DataFrame({id_column: batch[id_column],

@@ -116,26 +116,27 @@ def test_tagger_external_package_path(monkeypatch):
         import pytest
 
         with pytest.raises(NotImplementedError, match="built-in calendar"):
-            HolidayTagger("ts", country="JP", years=range(2024, 2025))
+            HolidayTagger("ts", country="KR", years=range(2024, 2025))
         # fake module: any country code the package would support
         fake = types.ModuleType("holidays")
 
         def country_holidays(country, years):
-            assert country == "JP"
-            return {dt.date(y, 2, 11): "Foundation Day" for y in years}
+            assert country == "KR"
+            return {dt.date(y, 3, 1): "Independence Movement Day"
+                    for y in years}
 
         fake.country_holidays = country_holidays
         monkeypatch.setitem(sys.modules, "holidays", fake)
 
-    tagger = HolidayTagger("ts", country="JP", years=range(2024, 2026))
+    tagger = HolidayTagger("ts", country="KR", years=range(2024, 2026))
     batch = pd.DataFrame({"ts": pd.to_datetime(
-        ["2024-02-11", "2024-02-10", "2024-02-12", "2024-06-01"])})
+        ["2024-03-01", "2024-02-29", "2024-03-02", "2024-06-01"])})
     out = tagger(batch)
     assert out["is_holiday"].tolist()[0] == 1
     assert out["before_holiday"].tolist()[1] == 1
     assert out["after_holiday"].tolist()[2] == 1
     if not have_pkg:
-        assert out["holiday_name"].tolist()[0] == "Foundation Day"
+        assert out["holiday_name"].tolist()[0] == "Independence Movement Day"
         assert np.all(out["is_holiday"].to_numpy() == [1, 0, 0, 0])
 
 
@@ -191,8 +192,75 @@ def test_nl_koningsdag_sunday_rule():
     assert nl24[dt.date(2024, 5, 20)] == "Tweede Pinksterdag"
 
 
-def test_builtin_registry_has_ten_entries():
+def test_jp_furikae_substitutes_2024_2025():
+    from pytimetk_ray.ops.holiday import jp_holidays
+
+    jp24 = jp_holidays(2024)
+    # official 2024 furikae days: Feb 12, May 6, Aug 12, Sep 23, Nov 4
+    assert jp24[dt.date(2024, 2, 12)] == "National Foundation Day (observed)"
+    assert jp24[dt.date(2024, 5, 6)] == "Children's Day (observed)"
+    assert jp24[dt.date(2024, 8, 12)] == "Mountain Day (observed)"
+    assert jp24[dt.date(2024, 9, 23)] == "Autumnal Equinox Day (observed)"
+    assert jp24[dt.date(2024, 11, 4)] == "Culture Day (observed)"
+    assert jp24[dt.date(2024, 3, 20)] == "Vernal Equinox Day"
+    assert jp24[dt.date(2024, 9, 22)] == "Autumnal Equinox Day"
+    jp25 = jp_holidays(2025)
+    # May 4 (Greenery) falls on Sunday; May 5 is Children's Day so the
+    # substitute skips to Tue May 6 — the chained-furikae case
+    assert jp25[dt.date(2025, 5, 6)] == "Greenery Day (observed)"
+    assert jp25[dt.date(2025, 2, 24)] == "Emperor's Birthday (observed)"
+    assert jp25[dt.date(2025, 11, 24)] == "Labor Thanksgiving Day (observed)"
+    assert jp25[dt.date(2025, 9, 23)] == "Autumnal Equinox Day"
+    assert dt.date(2025, 9, 22) not in jp25
+
+
+def test_jp_citizens_holiday_silver_week_2026():
+    from pytimetk_ray.ops.holiday import jp_holidays
+
+    # 2026: Respect for the Aged Mon Sep 21, Autumnal Equinox Wed Sep 23
+    # -> Tue Sep 22 is a kokumin no kyujitsu bridge
+    jp26 = jp_holidays(2026)
+    assert jp26[dt.date(2026, 9, 21)] == "Respect for the Aged Day"
+    assert jp26[dt.date(2026, 9, 22)] == "Citizens' Holiday"
+    assert jp26[dt.date(2026, 9, 23)] == "Autumnal Equinox Day"
+
+
+def test_mx_monday_rules_and_sexennial():
+    from pytimetk_ray.ops.holiday import mx_holidays
+
+    mx24 = mx_holidays(2024)
+    assert mx24[dt.date(2024, 2, 5)] == "Dia de la Constitucion"
+    assert mx24[dt.date(2024, 3, 18)] == "Natalicio de Benito Juarez"
+    assert mx24[dt.date(2024, 11, 18)] == "Revolucion Mexicana"
+    assert mx24[dt.date(2024, 10, 1)] == \
+        "Transmision del Poder Ejecutivo Federal"
+    mx25 = mx_holidays(2025)
+    assert mx25[dt.date(2025, 2, 3)] == "Dia de la Constitucion"
+    assert not any("Transmision" in v for v in mx25.values())
+    # pre-2024 cycle used Dec 1 (2018 inauguration)
+    mx18 = mx_holidays(2018)
+    assert mx18[dt.date(2018, 12, 1)] == \
+        "Transmision del Poder Ejecutivo Federal"
+
+
+def test_br_in_fixed_dates():
+    from pytimetk_ray.ops.holiday import br_holidays, in_holidays
+
+    br24 = br_holidays(2024)
+    assert br24[dt.date(2024, 3, 29)] == "Sexta-feira Santa"
+    assert dt.date(2024, 11, 20) in br24          # national from 2024
+    assert dt.date(2023, 11, 20) not in br_holidays(2023)
+    assert br_holidays(2025)[dt.date(2025, 4, 18)] == "Sexta-feira Santa"
+    assert in_holidays(2025) == {
+        dt.date(2025, 1, 26): "Republic Day",
+        dt.date(2025, 8, 15): "Independence Day",
+        dt.date(2025, 10, 2): "Gandhi Jayanti",
+    }
+
+
+def test_builtin_registry_has_fourteen_entries():
     from pytimetk_ray.ops.holiday import _BUILTIN_CALENDARS
 
     assert set(_BUILTIN_CALENDARS) == {
-        "US", "UK", "GB", "DE", "FR", "CA", "AU", "ES", "IT", "NL"}
+        "US", "UK", "GB", "DE", "FR", "CA", "AU", "ES", "IT", "NL",
+        "JP", "BR", "IN", "MX"}

@@ -170,6 +170,48 @@ def test_minhash_chunked_pairs_match_reference_small():
     assert ((pairs.est_jaccard >= 0.5) & (pairs.est_jaccard <= 1.0)).all()
 
 
+# --- pd_quantile configurable window functions (VERDICT r3 #6) --------------
+
+
+def test_pd_quantile_configurable_rolling_and_expanding():
+    from pytimetk_ray.ops.expanding import augment_expanding
+    from pytimetk_ray.ops.rolling import augment_rolling, pd_quantile
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": np.repeat([1, 2], 25),
+        "t": np.tile(np.arange(25), 2),
+        "v": rng.normal(100, 20, 50),
+    })
+    out = augment_rolling(
+        rd.from_pandas(df), ["g"], ["t"], "v", window=5,
+        window_func=[("quantile_75", pd_quantile(q=0.75)), "quantile"],
+        num_partitions=2,
+    ).to_pandas().sort_values(["g", "t"], ignore_index=True)
+    # reference naming: tuple name verbatim; string 'quantile' -> _50
+    assert "v_rolling_quantile_75_win_5" in out.columns
+    assert "v_rolling_quantile_50_win_5" in out.columns
+    ref = df.sort_values(["g", "t"], ignore_index=True)
+    gr = ref.groupby("g", group_keys=False)["v"]
+    want75 = gr.rolling(5, min_periods=5).quantile(
+        0.75, interpolation="midpoint").reset_index(drop=True)
+    want50 = gr.rolling(5, min_periods=5).quantile(0.5)  # linear default
+    np.testing.assert_array_equal(
+        out["v_rolling_quantile_75_win_5"].to_numpy(), want75.to_numpy())
+    np.testing.assert_array_equal(
+        out["v_rolling_quantile_50_win_5"].to_numpy(), want50.to_numpy())
+
+    exp = augment_expanding(
+        rd.from_pandas(df), ["g"], ["t"], "v",
+        window_func=[("quantile_25", pd_quantile(q=0.25))],
+        num_partitions=2,
+    ).to_pandas().sort_values(["g", "t"], ignore_index=True)
+    wante = gr.expanding(min_periods=1).quantile(
+        0.25, interpolation="midpoint").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        exp["v_expanding_quantile_25"].to_numpy(), wante.to_numpy())
+
+
 # --- block-order determinism of the round-3 driver-window reds --------------
 
 
