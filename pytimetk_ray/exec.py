@@ -155,7 +155,84 @@ def partitioned_group_map(
             batch_size=None,
             zero_copy_batch=True,
         )
+    if _EXCHANGE_MODE() == "manual" and batch_format == "pandas":
+        return _manual_exchange_map(tagged, num_partitions, run_partition,
+                                    batch_format)
     return tagged.groupby(PART_COL).map_groups(run_partition, batch_format=batch_format)
+
+
+def _EXCHANGE_MODE() -> str:
+    """Exchange strategy for partitioned_group_map: 'sort' (default — Ray's
+    range/sort shuffle on __part__) or 'manual' (raw-Ray split/concat
+    exchange, env GRAFT_EXCHANGE=manual).  The manual path exists for the
+    sf1 A/B in BASELINE.md: the sort shuffle pays boundary sampling + an
+    in-block sort that _group_sort re-does per partition anyway."""
+    import os
+
+    return os.environ.get("GRAFT_EXCHANGE", "sort")
+
+
+def _manual_exchange_map(tagged: rd.Dataset, num_partitions: int,
+                         run_partition, batch_format: str) -> rd.Dataset:
+    """Raw-Ray keyed exchange: each tagged block splits into one sub-table
+    per partition id (map side, num_returns=P objects so the object store
+    routes only the needed shards to each reducer); each reducer concats
+    its shards and runs the partition kernel.  Row order within a partition
+    is block-arrival order — run_partition's _group_sort makes kernel input
+    deterministic exactly as in the sort-shuffle path.
+
+    Trade-off vs the sort shuffle: no boundary sampling, no in-block sort,
+    but P objects per input block (P*B small objects) — fine for P ≈ CPU
+    count, pathological for P in the thousands."""
+    import ray
+
+    @ray.remote(num_returns=num_partitions)
+    def split_block(blk):
+        # blocks arrive as pa.Table OR pd.DataFrame depending on the
+        # upstream stage's batch format; empty no-column blocks (filter
+        # leftovers) carry no PART_COL and contribute nothing
+        is_arrow = isinstance(blk, pa.Table)
+        names = blk.column_names if is_arrow else list(blk.columns)
+        if len(blk) == 0 or PART_COL not in names:
+            out = [None] * num_partitions
+            return out if num_partitions > 1 else out[0]
+        part = (blk[PART_COL].to_numpy(zero_copy_only=False) if is_arrow
+                else blk[PART_COL].to_numpy())
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+        if is_arrow:
+            srt = blk.take(pa.array(order))
+            out = [srt.slice(bounds[i], bounds[i + 1] - bounds[i])
+                   if bounds[i + 1] > bounds[i] else None
+                   for i in range(num_partitions)]
+        else:
+            srt = blk.iloc[order]
+            out = [srt.iloc[bounds[i]:bounds[i + 1]]
+                   if bounds[i + 1] > bounds[i] else None
+                   for i in range(num_partitions)]
+        return out if num_partitions > 1 else out[0]
+
+    @ray.remote
+    def reduce_partition(*shards):
+        frames = [s.to_pandas() if isinstance(s, pa.Table) else s
+                  for s in shards if s is not None]
+        df = (pd.concat(frames, ignore_index=True) if frames
+              else pd.DataFrame())
+        return run_partition(df)
+
+    bundles = tagged.iter_internal_ref_bundles()
+    block_refs = [br for b in bundles for br in b.block_refs]
+    if not block_refs:
+        return tagged.groupby(PART_COL).map_groups(
+            run_partition, batch_format=batch_format)
+    shard_lists = [split_block.remote(b) for b in block_refs]
+    if num_partitions == 1:
+        shard_lists = [[s] for s in shard_lists]
+    reduced = [reduce_partition.remote(*[sl[p] for sl in shard_lists])
+               for p in range(num_partitions)]
+    # pandas blocks, exactly like the sort path's map_groups output — the
+    # downstream plan must see the same block format either way
+    return rd.from_pandas_refs(reduced)
 
 
 def _group_sort(df: pd.DataFrame, sort_cols: Sequence[str], key_set: set) -> pd.DataFrame:

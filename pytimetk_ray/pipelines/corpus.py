@@ -437,6 +437,61 @@ def unigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
                           concurrency=concurrency)
 
 
+def ccnet_buckets(ds: rd.Dataset, *, id_column: str = "doc_id",
+                  text_column: str = "text", lang_column: str = "lang",
+                  vocab_size: int = 256,
+                  num_partitions: int = CORPUS_PARTITIONS,
+                  concurrency: int = 4) -> rd.Dataset:
+    """CCNet-style per-language quality buckets (Wenzek et al., LREC 2020
+    §4.3: split each language's documents into head/middle/tail thirds by
+    LM score; only head+middle typically train).
+
+    Shape: ``unigram_logprob`` scores (two bounded passes) ⋈ the doc's
+    language via one co-partitioning ``hash_join`` on doc_id, then ONE
+    keyed partition per language ranks docs and assigns
+    ``bucket = 3 * rank0 // n_lang`` — exact integer arithmetic, so the
+    oracle is a plain ROW_NUMBER window.  Ranking key is
+    (ROUND(logprob, 6) DESC, doc_id ASC): ln-based scores differ from
+    DuckDB's libm in the last ulp (NOTES_r3 — round BEFORE any selection
+    or ranking), and the doc_id tiebreak makes the rank total-order
+    deterministic.  Docs with no tokens are dropped (no score).
+
+    Output: (doc_id, lang, n_tokens, logprob[rounded 6], bucket,
+    bucket_label) — head is the MOST probable third."""
+    from pytimetk_ray.ops.joins import hash_join
+
+    scores = unigram_logprob(ds, id_column=id_column,
+                             text_column=text_column,
+                             vocab_size=vocab_size,
+                             num_partitions=num_partitions,
+                             concurrency=concurrency)
+    langs = ds.select_columns([id_column, lang_column])
+    joined = hash_join(scores, langs, left_on=id_column,
+                       num_partitions=num_partitions)
+
+    labels = np.array(["head", "middle", "tail"], dtype=object)
+
+    def rank_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        lp = np.round(part["logprob"].to_numpy(np.float64), 6)
+        codes = pd.factorize(part[lang_column], sort=False)[0]
+        ids = part[id_column].to_numpy()
+        # within language: logprob desc, doc_id asc
+        order = np.lexsort((ids, -lp, codes))
+        from pytimetk_ray.exec import row_number_in_group
+        rank0 = row_number_in_group(codes[order])
+        sizes = np.bincount(codes)[codes[order]]
+        bucket = (3 * rank0) // sizes
+        out = part.iloc[order].reset_index(drop=True)
+        out["logprob"] = lp[order]
+        out["bucket"] = bucket.astype(np.int64)
+        out["bucket_label"] = labels[bucket]
+        return out
+
+    return partitioned_group_map(joined, [lang_column], rank_kernel,
+                                 sort_by=[lang_column],
+                                 num_partitions=num_partitions)
+
+
 def bigram_logprob(ds: rd.Dataset, *, id_column: str = "doc_id",
                    text_column: str = "text", vocab_size: int = 64,
                    num_partitions: int = CORPUS_PARTITIONS,

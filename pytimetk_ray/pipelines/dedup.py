@@ -371,6 +371,50 @@ def dedup_components(pairs: rd.Dataset, *, id_column: str = "doc_id",
     )
 
 
+def cluster_representatives(
+    clusters: rd.Dataset,
+    docs: rd.Dataset,
+    *,
+    id_column: str = "doc_id",
+    length_column: str = "n_chars",
+    num_partitions: int = DEDUP_PARTITIONS,
+) -> rd.Dataset:
+    """Elect ONE representative per duplicate cluster — the keep/drop
+    decision that turns a pair graph into an actual dedup action.
+
+    Input: ``clusters`` (doc_id, cluster_id) from ``dedup_components``;
+    ``docs`` supplies the election feature.  Convention (C4 / BigQuery
+    dedup practice): keep the LONGEST member, doc id ascending as the
+    total-order tiebreak.  Docs outside any cluster are untouched by
+    construction (absent from the input).
+
+    Shape: one co-partitioning ``hash_join`` on doc_id attaches lengths,
+    one keyed partition per cluster_id elects vectorized (factorize +
+    lexsort + first-of-group) — no driver materialization at any size.
+
+    Output: (doc_id, cluster_id, <length_column>, keep) — exactly one
+    ``keep=True`` row per cluster."""
+    from pytimetk_ray.exec import row_number_in_group
+    from pytimetk_ray.ops.joins import hash_join
+
+    joined = hash_join(
+        clusters, docs.select_columns([id_column, length_column]),
+        left_on=id_column, num_partitions=num_partitions)
+
+    def elect(part: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.factorize(part["cluster_id"], sort=False)[0]
+        ids = part[id_column].to_numpy()
+        ln = part[length_column].to_numpy(np.int64)
+        order = np.lexsort((ids, -ln, codes))
+        out = part.iloc[order].reset_index(drop=True)
+        out["keep"] = row_number_in_group(codes[order]) == 0
+        return out
+
+    return partitioned_group_map(joined, ["cluster_id"], elect,
+                                 sort_by=["cluster_id"],
+                                 num_partitions=num_partitions)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash_pairs(

@@ -212,6 +212,55 @@ def test_pd_quantile_configurable_rolling_and_expanding():
         exp["v_expanding_quantile_25"].to_numpy(), wante.to_numpy())
 
 
+# --- round-4 new operators ---------------------------------------------------
+
+
+def test_ccnet_buckets_thirds_and_order():
+    from pytimetk_ray.pipelines.corpus import ccnet_buckets
+
+    rng = np.random.default_rng(5)
+    common = "the quick brown fox"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [common if i % 3 == 0 else
+                 f"{common} rare{i} " + " ".join(
+                     rng.choice([f"w{j}" for j in range(40)], size=6))
+                 for i in range(60)],
+        "lang": ["en"] * 30 + ["de"] * 30,
+    })
+    out = ccnet_buckets(rd.from_pandas(docs), vocab_size=16,
+                        num_partitions=4).to_pandas()
+    assert len(out) == 60
+    for lang, g in out.groupby("lang"):
+        counts = g["bucket"].value_counts().sort_index()
+        assert counts.tolist() == [10, 10, 10]  # exact thirds of 30
+        # head logprobs >= middle >= tail (ranking is by rounded logprob)
+        h = g.loc[g.bucket == 0, "logprob"].min()
+        m = g.loc[g.bucket == 1, "logprob"]
+        t = g.loc[g.bucket == 2, "logprob"].max()
+        assert h >= m.max() - 1e-9 and m.min() >= t - 1e-9
+    assert set(out["bucket_label"]) == {"head", "middle", "tail"}
+
+
+def test_cluster_representatives_keep_longest():
+    from pytimetk_ray.pipelines.dedup import cluster_representatives
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 10, 11], dtype=np.int64),
+        "cluster_id": np.array([1, 1, 1, 10, 10], dtype=np.int64)}))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 10, 11, 99], dtype=np.int64),
+        "n_chars": np.array([5, 9, 9, 4, 2, 100], dtype=np.int64),
+        "text": ["x"] * 6}))
+    out = (cluster_representatives(clusters, docs, num_partitions=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert len(out) == 5  # doc 99 is unclustered -> absent
+    kept = set(out.loc[out.keep, "doc_id"])
+    # cluster 1: longest is tie 2/3 -> min doc_id 2; cluster 10: doc 10
+    assert kept == {2, 10}
+    assert out.groupby("cluster_id")["keep"].sum().tolist() == [1, 1]
+
+
 # --- block-order determinism of the round-3 driver-window reds --------------
 
 
