@@ -580,6 +580,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["conv_id", "bucket_ts", "value_sum", "value_count", "value_mean"])
         return _round_cols(_cast_bucket_us(t), ["value_sum", "value_mean"])
 
+    def tier_compact_1h(sf_dir):
+        # storage maintenance: encode the 1h tier into DELIBERATELY tiny
+        # chunks (max 7 points — the many-small-increments store state),
+        # compact to full-size chunks, decode — decoded rows must equal the
+        # plain hourly SQL (the compaction bit-equality invariant,
+        # end-to-end through both codecs)
+        from pytimetk_ray.exec import partitioned_group_map
+        from pytimetk_ray.pipelines.tiers import rollup_tiers
+        from pytimetk_ray.stages.tier_encoder import (
+            TierEncoder, compact_chunks, decode_chunks)
+
+        out = os.path.join(tempfile.mkdtemp(prefix="tiers_cp_"), "tiers")
+        ds = _events(sf_dir).map_batches(
+            lambda b: b.rename(columns={"user_id": "conv_id"}),
+            batch_format="pandas")
+        rollup_tiers(ds, out_dir=out, key="conv_id", date_column="ts",
+                     value_column="value", num_partitions=16,
+                     input_fingerprint="cp", tiers=("1min", "1h"))
+        chunks = rd.read_parquet(os.path.join(out, "tier=1h")).map_batches(
+            TierEncoder,
+            fn_constructor_kwargs=dict(tier="auto", max_points_per_chunk=7),
+            batch_format="pandas", batch_size=None, concurrency=2)
+        compacted = compact_chunks(chunks, max_points_per_chunk=4096,
+                                   num_partitions=16)
+        decoded = partitioned_group_map(
+            compacted, ["conv_id"], decode_chunks,
+            sort_by=["conv_id", "tier", "start_ts"], num_partitions=16)
+        decoded = _cast_bucket_us(decoded)
+        decoded = _round_cols(decoded, ["value_sum"])
+        decoded = _cast_int64(decoded, ["value_count"])  # gorilla stores f64
+        return decoded.select_columns(
+            ["conv_id", "bucket_ts", "value_sum", "value_count",
+             "value_min", "value_max"])
+
     def tpch_q1(sf_dir):
         ds = rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
@@ -948,7 +982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def fin_cmo(sf_dir):
         ds = fin.augment_cmo(_events(sf_dir), ["user_id"], ["ts"], "value", periods=10)
-        ds = _round_cols(ds, ["value_cmo_10"])
+        # canon_zero: at sf0.1 a window with all-zero deltas rounds to -0.0
+        # on one side only (byte-hash hazard; NOTES_r4 tie taxonomy)
+        ds = _round_cols(ds, ["value_cmo_10"], canon_zero=True)
         return ds.select_columns(["event_id", "user_id", "value_cmo_10"])
 
     def fin_atr(sf_dir):
@@ -1032,7 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = fin.augment_rolling_risk_metrics(_events(sf_dir), ["user_id"], ["ts"],
                                               "value", window=5, returns="log")
         cols = ["value_sharpe_ratio_5", "value_volatility_annualized_5"]
-        ds = _round_cols(_nan_to_null(ds, cols), cols)
+        ds = _round_cols(_nan_to_null(ds, cols), cols, canon_zero=True)
         return ds.select_columns(["event_id", "user_id"] + cols)
 
     def fin_hurst(sf_dir):
@@ -1132,7 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # float noise at these magnitudes
         ds = augment_hilbert(_events(sf_dir), ["user_id"], ["ts"], "value")
         ds = _round_cols(ds, ["value_hilbert_real", "value_hilbert_imag"],
-                         digits=4)
+                         digits=4, canon_zero=True)
         return ds.select_columns(["event_id", "user_id", "value_hilbert_real",
                                   "value_hilbert_imag"])
 
@@ -1924,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fourier": fourier,
         "tier_rollup_1h": tier_rollup_1h,
         "tier_query_1h": tier_query_1h,
+        "tier_compact_1h": tier_compact_1h,
         "tpch_q1": tpch_q1,
         "dedup_exact": dedup_exact,
         "doc_token_count": doc_token_count,
@@ -2177,10 +2214,10 @@ def _hilbert_sql(digits: int = 4) -> str:
         SELECT e.event_id, e.user_id,
                ROUND(SUM(H.h * (H.fr * COS(2 * PI() * H.k * e.i / e.n)
                                 - H.fi * SIN(2 * PI() * H.k * e.i / e.n)))
-                     / MAX(e.n), {digits}) AS value_hilbert_real,
+                     / MAX(e.n), {digits}) + 0 AS value_hilbert_real,
                ROUND(SUM(H.h * (H.fr * SIN(2 * PI() * H.k * e.i / e.n)
                                 + H.fi * COS(2 * PI() * H.k * e.i / e.n)))
-                     / MAX(e.n), {digits}) AS value_hilbert_imag
+                     / MAX(e.n), {digits}) + 0 AS value_hilbert_imag
         FROM ix e JOIN H ON H.user_id = e.user_id
         GROUP BY e.event_id, e.user_id
     """
@@ -4665,7 +4702,7 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(100 * (SUM(gains) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
                                     - SUM(losses) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
                                  / (SUM(gains) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-                                    + SUM(losses) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), 6)
+                                    + SUM(losses) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), 6) + 0
                    END AS value_cmo_10
             FROM gl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
@@ -4912,9 +4949,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT event_id, user_id,
-                   ROUND(CASE WHEN rn >= 6 THEN (mu / sqrt(ss / 4.0)) * sqrt(252.0) END, 6)
+                   ROUND(CASE WHEN rn >= 6 THEN (mu / sqrt(ss / 4.0)) * sqrt(252.0) END, 6) + 0
                        AS value_sharpe_ratio_5,
-                   ROUND(CASE WHEN rn >= 6 THEN sqrt(ss / 4.0) * sqrt(252.0) END, 6)
+                   ROUND(CASE WHEN rn >= 6 THEN sqrt(ss / 4.0) * sqrt(252.0) END, 6) + 0
                        AS value_volatility_annualized_5
             FROM s
         """,
@@ -5056,6 +5093,10 @@ def oracle_sql() -> dict[str, str]:
     # (filter sized so expected false positives << 1) — SAME oracle; a
     # mismatch IS a detected false positive
     sql["decontaminate_bloom"] = sql["decontaminate"]
+    # compaction invariant: decoded rows == the plain hourly rollup — the
+    # SAME oracle as tier_rollup_1h (encode -> re-chunk -> decode is the
+    # identity on rows)
+    sql["tier_compact_1h"] = sql["tier_rollup_1h"]
     # cluster representatives: the dedup_clusters closure, its final SELECT
     # folded into a CTE, plus a keep-longest ROW_NUMBER election
     _cl_final = ("SELECT node AS doc_id, MIN(r) AS cluster_id "

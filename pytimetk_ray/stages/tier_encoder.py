@@ -116,7 +116,8 @@ class TierEncoder:
         return df
 
 
-def decode_chunks(chunks: pd.DataFrame, unit: str = "us") -> pd.DataFrame:
+def decode_chunks(chunks: pd.DataFrame, unit: str = "us",
+                  keep_tier: bool = False) -> pd.DataFrame:
     """Decode chunk rows back to tier rows (bit-equality check path).
 
     Accepts any number of chunks per (conv); one lexsort by
@@ -143,6 +144,67 @@ def decode_chunks(chunks: pd.DataFrame, unit: str = "us") -> pd.DataFrame:
         "conv_id": np.repeat(g["conv_id"].to_numpy(), ns),
         "bucket_ts": ts.astype(f"datetime64[{unit}]"),
     }
+    if keep_tier:
+        data["tier"] = np.repeat(g["tier"].to_numpy(), ns)
     for col in value_cols:
         data[col] = gorilla_decode_many(g[f"{col}_blob"].tolist(), ns)
     return pd.DataFrame(data)
+
+
+def compact_chunks(
+    chunks,
+    *,
+    key_column: str = "conv_id",
+    max_points_per_chunk: int = 4096,
+    num_partitions: int | None = None,
+):
+    """Storage maintenance for the encoded tier store: re-chunk every
+    (conv, tier) stream into maximal chunks.
+
+    Incremental ingest appends one small chunk per increment (chunk
+    streams compose — module docstring), so a long-lived store accumulates
+    many tiny chunks per conversation: read amplification (one blob header
+    per handful of points) and manifest growth.  Compaction is ONE keyed
+    exchange by conv: each partition decodes its chunk streams with the
+    batch decoders and re-encodes at full chunk size via
+    ``TierEncoder(tier="auto")``.
+
+    Invariant: DECODED ROWS are bit-equal before/after (the oracle-checked
+    guarantee); blob BYTES may differ — the merged stream's GCD timestamp
+    scale can be coarser than per-chunk scales.  Fast path: a (conv, tier)
+    stream already stored as one chunk within the size limit passes
+    through VERBATIM (no decode).
+
+    Returns a Dataset of chunk rows with the same schema as the input."""
+    import ray.data as rd  # noqa: F401  (type only)
+
+    from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS, partitioned_group_map
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.factorize(
+            pd.MultiIndex.from_arrays(
+                [part[key_column], part["tier"]]), sort=False)[0]
+        sizes = np.bincount(codes)
+        n_chunks = sizes[codes]
+        ok_alone = (n_chunks == 1) & (part["n_points"].to_numpy() <=
+                                      max_points_per_chunk)
+        passthrough = part.loc[ok_alone]
+        todo = part.loc[~ok_alone]
+        if not len(todo):
+            return passthrough.reset_index(drop=True)
+        value_cols = [c[: -len("_blob")] for c in part.columns
+                      if c.endswith("_blob") and c != "ts_blob"]
+        unit = str(todo["start_ts"].to_numpy().dtype)
+        unit = unit[unit.index("[") + 1: unit.index("]")]
+        rows = decode_chunks(todo, unit=unit, keep_tier=True)
+        enc = TierEncoder(tier="auto", value_columns=value_cols,
+                          key_column=key_column,
+                          max_points_per_chunk=max_points_per_chunk)
+        out = enc(rows)
+        return pd.concat([passthrough, out],
+                         ignore_index=True)[list(part.columns)]
+
+    return partitioned_group_map(
+        chunks, [key_column], kernel,
+        sort_by=[key_column, "tier", "start_ts"],
+        num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS)

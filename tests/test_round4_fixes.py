@@ -261,6 +261,76 @@ def test_cluster_representatives_keep_longest():
     assert out.groupby("cluster_id")["keep"].sum().tolist() == [1, 1]
 
 
+def test_manual_exchange_matches_sort_exchange(monkeypatch):
+    """GRAFT_EXCHANGE=manual (raw-Ray split/concat) must produce the same
+    rows as the default sort shuffle — including empty and string-keyed
+    partitions."""
+    df = pd.DataFrame({
+        "k": np.repeat([f"g{i}" for i in range(23)], 40),
+        "t": np.tile(np.arange(40), 23),
+        "v": np.arange(920, dtype=np.float64),
+    })
+
+    def run():
+        return partitioned_group_map(
+            rd.from_pandas(df), ["k"],
+            lambda p: p.assign(c=p.groupby("k", sort=False)["v"].cumsum()),
+            sort_by=["k", "t"], num_partitions=7,
+        ).to_pandas().sort_values(["k", "t"], ignore_index=True)
+
+    base = run()
+    monkeypatch.setenv("GRAFT_EXCHANGE", "manual")
+    manual = run()
+    pd.testing.assert_frame_equal(base, manual)
+
+
+def test_compact_chunks_row_bit_equality_and_chunk_reduction():
+    from pytimetk_ray.stages.tier_encoder import (
+        TierEncoder, compact_chunks, decode_chunks)
+
+    rng = np.random.default_rng(9)
+    nconv, pts = 40, 90
+    rows = pd.DataFrame({
+        "conv_id": np.repeat([f"c{i}" for i in range(nconv)], pts),
+        "tier": "1h",
+        "bucket_ts": np.tile(
+            pd.date_range("2024-01-01", periods=pts, freq="h")
+            .astype("datetime64[us]"), nconv),
+        "value_sum": np.round(rng.normal(100, 30, nconv * pts), 6),
+        "value_count": rng.integers(1, 50, nconv * pts).astype(np.float64),
+    })
+    enc = TierEncoder(tier="auto", value_columns=["value_sum", "value_count"],
+                      max_points_per_chunk=7)
+    # split rows into 5 uneven arrival batches -> many small chunks/conv
+    parts = np.array_split(rng.permutation(len(rows)), 5)
+    chunks = pd.concat([enc(rows.iloc[p]) for p in parts], ignore_index=True)
+    assert len(chunks) > nconv * 5  # genuinely fragmented
+
+    compacted = compact_chunks(
+        rd.from_pandas(chunks), max_points_per_chunk=4096, num_partitions=4
+    ).to_pandas()
+    assert len(compacted) == nconv  # one chunk per (conv, tier) stream
+    assert list(compacted.columns) == list(chunks.columns)
+
+    dec = decode_chunks(compacted).sort_values(
+        ["conv_id", "bucket_ts"], ignore_index=True)
+    want = rows.sort_values(["conv_id", "bucket_ts"], ignore_index=True)
+    assert (dec["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
+    for c in ("value_sum", "value_count"):
+        assert (dec[c].to_numpy().view(np.uint64)
+                == want[c].to_numpy().view(np.uint64)).all(), c
+
+    # idempotence + passthrough: compacting a compacted store is a no-op
+    # on decoded rows and keeps single-chunk streams verbatim
+    again = compact_chunks(rd.from_pandas(compacted),
+                           max_points_per_chunk=4096,
+                           num_partitions=4).to_pandas()
+    a = again.sort_values(["conv_id", "start_ts"], ignore_index=True)
+    b = compacted.sort_values(["conv_id", "start_ts"], ignore_index=True)
+    assert (a["ts_blob"] == b["ts_blob"]).all()
+    assert (a["value_sum_blob"] == b["value_sum_blob"]).all()
+
+
 # --- block-order determinism of the round-3 driver-window reds --------------
 
 
