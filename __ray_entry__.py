@@ -736,6 +736,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(unigram_logprob(_docs(sf_dir), vocab_size=256),
                            ["logprob"])
 
+    def doc_sample_mixture(sf_dir):
+        # pretraining data-mixture recipe: per-source deterministic keep
+        # rates (group-independent id hash: rate changes never reshuffle
+        # other sources); oracle = the same md5 predicate per source
+        from pytimetk_ray.pipelines.corpus import sample_mixture
+
+        ds = sample_mixture(
+            _docs(sf_dir), group_column="source",
+            rates_ppm={"src0": 1_000_000, "src1": 500_000, "src2": 100_000},
+            default_ppm=250_000)
+        return ds.select_columns(["doc_id", "source", "lang", "n_chars"])
+
     def doc_ccnet_buckets(sf_dir):
         # CCNet head/middle/tail thirds per language by unigram LM rank;
         # bucket = 3*rank0 // n_lang is exact integer arithmetic, rank key
@@ -1980,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "dedup_cluster_reps": dedup_cluster_reps,
         "doc_ccnet_buckets": doc_ccnet_buckets,
+        "doc_sample_mixture": doc_sample_mixture,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_ivf_topk": ann_ivf_topk,
@@ -3459,6 +3472,14 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """.replace("__PERM_VALS__", _perm_vals),
 
+        "doc_sample_mixture": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 100000
+                                ELSE 250000 END
+        """,
         "doc_ccnet_buckets": r"""
             -- CCNet thirds: unigram score (same CTEs as doc_unigram_logprob,
             -- rounded 6 BEFORE ranking), per-language ROW_NUMBER election,

@@ -147,6 +147,37 @@ def hash_sample(ds: rd.Dataset, *, id_column: str = "doc_id",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def sample_mixture(ds: rd.Dataset, *, group_column: str = "source",
+                   rates_ppm: dict[str, int] | None = None,
+                   default_ppm: int = 0, id_column: str = "doc_id",
+                   salt: str = "") -> rd.Dataset:
+    """Deterministic DATA-MIXTURE sampling: per-group Bernoulli keep rates
+    (the "20% web, 100% books, 5% logs" recipe every pretraining mixture
+    needs), applied as one stateless projection — no shuffle, no RNG, the
+    SAME rows kept on any cluster size or resume.
+
+    keep iff ``md5(salt || id) % 1e6 < rates_ppm[group]`` (groups absent
+    from the map use ``default_ppm``).  The id hash is group-independent,
+    so changing one group's rate never reshuffles another group's sample,
+    and raising a rate strictly grows the kept set (monotone ramp-ups).
+    DuckDB ``md5_number_lower`` parity keeps it oracle-checkable."""
+    rates = {k: int(v) for k, v in (rates_ppm or {}).items()}
+    for v in list(rates.values()) + [default_ppm]:
+        if not 0 <= v <= 1_000_000:
+            raise ValueError("rates must be within [0, 1e6] ppm")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy()
+        thr = batch[group_column].map(rates).fillna(default_ppm)\
+            .to_numpy(np.int64)
+        h = np.fromiter(
+            (tx.md5_u64(salt + str(int(i))) % 1_000_000 for i in ids),
+            dtype=np.int64, count=len(ids))
+        return batch[h < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def sample_stratified(ds: rd.Dataset, *, group_column: str,
                       id_column: str, frac_ppm: int = 200_000,
                       num_partitions: int = CORPUS_PARTITIONS) -> rd.Dataset:

@@ -242,6 +242,38 @@ def test_ccnet_buckets_thirds_and_order():
     assert set(out["bucket_label"]) == {"head", "middle", "tail"}
 
 
+def test_sample_mixture_rates_and_monotone_ramp():
+    from pytimetk_ray.pipelines.corpus import hash_sample, sample_mixture
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4000, dtype=np.int64),
+        "source": np.tile(["a", "b", "c", "d"], 1000),
+        "text": ["x"] * 4000,
+    })
+    ds = rd.from_pandas(docs)
+    out = sample_mixture(ds, group_column="source",
+                         rates_ppm={"a": 1_000_000, "b": 500_000, "c": 0},
+                         default_ppm=250_000).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("a", 0) == 1000          # rate 1.0 keeps everything
+    assert "c" not in by.index             # rate 0 drops everything
+    assert 380 <= by["b"] <= 620           # ~0.5 of 1000
+    assert 170 <= by.get("d", 0) <= 340    # default ~0.25
+    # monotone ramp: raising b's rate strictly grows b's kept set
+    lo = set(sample_mixture(ds, group_column="source",
+                            rates_ppm={"b": 200_000}, default_ppm=0)
+             .to_pandas()["doc_id"])
+    hi = set(sample_mixture(ds, group_column="source",
+                            rates_ppm={"b": 500_000}, default_ppm=0)
+             .to_pandas()["doc_id"])
+    assert lo < hi
+    # group-independence: at equal rate, mixture == plain hash_sample
+    mix = set(sample_mixture(ds, group_column="source", rates_ppm={},
+                             default_ppm=250_000).to_pandas()["doc_id"])
+    plain = set(hash_sample(ds, rate_ppm=250_000).to_pandas()["doc_id"])
+    assert mix == plain
+
+
 def test_cluster_representatives_keep_longest():
     from pytimetk_ray.pipelines.dedup import cluster_representatives
 
