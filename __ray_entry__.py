@@ -1406,7 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.concat(frames, ignore_index=True)
 
     def ts_features_q(sf_dir):
-        from pytimetk_ray.ops.stubs import ts_features
+        from pytimetk_ray.ops.ts_features import ts_features
 
         ds = ts_features(
             _events(sf_dir), "ts", "value", by=["user_id"],
@@ -1424,7 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ts_features_full(sf_dir):
         # rows-only: full builtin set (entropy/flat_spots/strengths use FFT,
         # quantile binning and the classical decomposition)
-        from pytimetk_ray.ops.stubs import ts_features
+        from pytimetk_ray.ops.ts_features import ts_features
 
         ds = ts_features(_events(sf_dir), "ts", "value", by=["user_id"])
         return _nan_to_null(ds, ["entropy", "trend_strength", "seasonal_strength",
@@ -2813,10 +2813,21 @@ def oracle_sql() -> dict[str, str]:
                            % 2305843009213693951) AS mh
                 FROM sh, perm GROUP BY doc_id, pi
             ),
-            band AS (
+            band0 AS (
                 SELECT doc_id, pi // 8 AS band_id,
                        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
                 FROM sig GROUP BY doc_id, pi // 8
+            ),
+            -- mirror of minhash_lsh_pairs' max_bucket cap: each band bucket
+            -- keeps only its first 100000 members in doc_id order (the
+            -- pipeline's deterministic ids-ascending prefix)
+            band AS (
+                SELECT doc_id, band_id, bkey FROM (
+                    SELECT doc_id, band_id, bkey,
+                           ROW_NUMBER() OVER (PARTITION BY band_id, bkey
+                                              ORDER BY doc_id) AS rn
+                    FROM band0)
+                WHERE rn <= 100000
             ),
             cand AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -3412,10 +3423,21 @@ def oracle_sql() -> dict[str, str]:
                            % 2305843009213693951) AS mh
                 FROM sh, perm GROUP BY doc_id, pi
             ),
-            band AS MATERIALIZED (
+            band0 AS MATERIALIZED (
                 SELECT doc_id, pi // 8 AS band_id,
                        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
                 FROM sig GROUP BY doc_id, pi // 8
+            ),
+            -- mirror of minhash_lsh_pairs' max_bucket cap: each band bucket
+            -- keeps only its first 100000 members in doc_id order (the
+            -- pipeline's deterministic ids-ascending prefix)
+            band AS (
+                SELECT doc_id, band_id, bkey FROM (
+                    SELECT doc_id, band_id, bkey,
+                           ROW_NUMBER() OVER (PARTITION BY band_id, bkey
+                                              ORDER BY doc_id) AS rn
+                    FROM band0)
+                WHERE rn <= 100000
             ),
             cand AS MATERIALIZED (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -3704,10 +3726,21 @@ def oracle_sql() -> dict[str, str]:
                            % 2305843009213693951) AS mh
                 FROM sh, perm GROUP BY doc_id, pi
             ),
-            band AS (
+            band0 AS (
                 SELECT doc_id, pi // 8 AS band_id,
                        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bkey
                 FROM sig GROUP BY doc_id, pi // 8
+            ),
+            -- mirror of minhash_lsh_pairs' max_bucket cap: each band bucket
+            -- keeps only its first 100000 members in doc_id order (the
+            -- pipeline's deterministic ids-ascending prefix)
+            band AS (
+                SELECT doc_id, band_id, bkey FROM (
+                    SELECT doc_id, band_id, bkey,
+                           ROW_NUMBER() OVER (PARTITION BY band_id, bkey
+                                              ORDER BY doc_id) AS rn
+                    FROM band0)
+                WHERE rn <= 100000
             ),
             cand AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

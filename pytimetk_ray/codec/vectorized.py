@@ -491,6 +491,11 @@ def dod_decode_many(blobs, ns) -> np.ndarray:
 # vectorized decoders below carry ~40 numpy-call fixed overhead per blob,
 # so tiny tier segments (a 1d-tier conversation may hold <10 points) use
 # these instead — crossover measured at ~256 values.
+# SCALAR_CROSSOVER is module-level so tests can lower it and drive the
+# vectorized path with small hypothesis inputs (both paths stay pinned).
+
+SCALAR_CROSSOVER = 256
+
 
 def _gorilla_decode_scalar(blob: bytes, n: int) -> np.ndarray:
     """Decode ``n`` float64s; '0'-control runs (repeated values — constant
@@ -595,7 +600,7 @@ def gorilla_decode_fast(blob: bytes, n: int) -> np.ndarray:
     mantissa payloads are gathered in one vectorized pass and values
     reconstructed with a single xor-prefix (v[i] = v0 ^ xor[1] ^..^ xor[i]).
     '0'-control runs (repeated values) skip in bulk via the set-bit index."""
-    if n < 256:
+    if n < SCALAR_CROSSOVER:
         return _gorilla_decode_scalar(blob, n)
     buf = _padded(blob)
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
@@ -702,7 +707,7 @@ def dod_decode_fast(blob: bytes, n: int) -> np.ndarray:
     walks control bits; payloads gather vectorized and the timestamps come
     back as delta = d-prefix-sum, t = delta-prefix-sum — two np.cumsum
     calls whose int64 wraparound matches the scalar codec's mod-2^64."""
-    if n < 256:
+    if n < SCALAR_CROSSOVER:
         return _dod_decode_scalar(blob, n)
     buf = _padded(blob)
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))

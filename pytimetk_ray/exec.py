@@ -213,11 +213,15 @@ def _manual_exchange_map(tagged: rd.Dataset, num_partitions: int,
         return out if num_partitions > 1 else out[0]
 
     @ray.remote
-    def reduce_partition(*shards):
+    def reduce_partition(empty, *shards):
         frames = [s.to_pandas() if isinstance(s, pa.Table) else s
                   for s in shards if s is not None]
+        # an empty partition must still carry the tagged dataset's full
+        # column schema: a zero-column pd.DataFrame() block would break
+        # downstream schema unification / select_columns when mixed with
+        # full-schema blocks
         df = (pd.concat(frames, ignore_index=True) if frames
-              else pd.DataFrame())
+              else empty.copy())
         return run_partition(df)
 
     bundles = tagged.iter_internal_ref_bundles()
@@ -225,10 +229,17 @@ def _manual_exchange_map(tagged: rd.Dataset, num_partitions: int,
     if not block_refs:
         return tagged.groupby(PART_COL).map_groups(
             run_partition, batch_format=batch_format)
+    # schema is known here (iter_internal_ref_bundles already executed the
+    # plan); one tiny full-schema empty frame shared by every reducer
+    sch = tagged.schema()
+    empty_df = pa.table(
+        {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+    ).to_pandas()
+    empty_ref = ray.put(empty_df)
     shard_lists = [split_block.remote(b) for b in block_refs]
     if num_partitions == 1:
         shard_lists = [[s] for s in shard_lists]
-    reduced = [reduce_partition.remote(*[sl[p] for sl in shard_lists])
+    reduced = [reduce_partition.remote(empty_ref, *[sl[p] for sl in shard_lists])
                for p in range(num_partitions)]
     # pandas blocks, exactly like the sort path's map_groups output — the
     # downstream plan must see the same block format either way

@@ -103,6 +103,20 @@ def exact_dedup_rows(ds: rd.Dataset, *, text_column: str = "text",
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+def _cap_bucket(seg_ids: np.ndarray, seg_sigs: np.ndarray, max_bucket: int):
+    """Deterministic ids-ascending bucket cap with a VISIBLE recall-loss
+    warning (shows in Ray worker logs; the oracle SQL mirrors the exact
+    prefix via ROW_NUMBER ... <= max_bucket, so parity is unaffected)."""
+    import warnings
+
+    warnings.warn(
+        f"minhash_lsh_pairs: band bucket of {len(seg_ids)} docs truncated "
+        f"to max_bucket={max_bucket} (deterministic doc-id prefix); "
+        f"candidate pairs beyond the cap are dropped",
+        RuntimeWarning, stacklevel=2)
+    return seg_ids[:max_bucket], seg_sigs[:max_bucket]
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     *,
@@ -193,8 +207,8 @@ def minhash_lsh_pairs(
             if n < 2:
                 continue
             if n > max_bucket:  # deterministic cap (ids ascending)
+                seg_ids, seg_sigs = _cap_bucket(seg_ids, seg_sigs, max_bucket)
                 n = max_bucket
-                seg_ids, seg_sigs = seg_ids[:n], seg_sigs[:n]
             S = np.frombuffer(b"".join(seg_sigs), dtype=np.uint64
                               ).reshape(n, -1)
             perm = S.shape[1]

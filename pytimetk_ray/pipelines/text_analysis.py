@@ -65,7 +65,7 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
 # Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", Appendix A — public heuristics).  All are
 # ratios/counts of identically-computed integers, so the SQL oracle
-# compares them UNROUNDED (CLAUDE.md tie taxonomy).
+# compares them UNROUNDED (NOTES_r1.md tie taxonomy).
 GOPHER_DEFAULTS = dict(
     min_words=50, max_words=100_000,
     min_mean_word_len=3.0, max_mean_word_len=10.0,

@@ -51,8 +51,8 @@ class TierEncoder:
 
         n = len(batch)
         if n == 0:
-            cols = {"conv_id": [], "tier": [], "start_ts": [], "n_points": [],
-                    "ts_scale": [], "ts_blob": []}
+            cols = {self.key_column: [], "tier": [], "start_ts": [],
+                    "n_points": [], "ts_scale": [], "ts_blob": []}
             for col in self.value_columns:
                 cols[f"{col}_blob"] = []
             return pd.DataFrame(cols)
@@ -98,7 +98,7 @@ class TierEncoder:
 
         chunk_codes = cs[:-1]
         out = {
-            "conv_id": np.asarray(conv_uniq, dtype=object)[cc[chunk_codes]],
+            self.key_column: np.asarray(conv_uniq, dtype=object)[cc[chunk_codes]],
             "tier": (np.asarray(tier_uniq, dtype=object)[tc[chunk_codes]]
                      if auto_tier else self.tier),
             "start_ts": ts_all[cs[:-1]],
@@ -117,7 +117,8 @@ class TierEncoder:
 
 
 def decode_chunks(chunks: pd.DataFrame, unit: str = "us",
-                  keep_tier: bool = False) -> pd.DataFrame:
+                  keep_tier: bool = False,
+                  key_column: str = "conv_id") -> pd.DataFrame:
     """Decode chunk rows back to tier rows (bit-equality check path).
 
     Accepts any number of chunks per (conv); one lexsort by
@@ -130,18 +131,18 @@ def decode_chunks(chunks: pd.DataFrame, unit: str = "us",
     value_cols = [c[: -len("_blob")] for c in chunks.columns
                   if c.endswith("_blob") and c != "ts_blob"]
     if not len(chunks):
-        return pd.DataFrame(columns=["conv_id", "bucket_ts"] + value_cols)
+        return pd.DataFrame(columns=[key_column, "bucket_ts"] + value_cols)
     order = np.lexsort((
         chunks["start_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
         pd.factorize(chunks["tier"], sort=False)[0],
-        pd.factorize(chunks["conv_id"], sort=False)[0],
+        pd.factorize(chunks[key_column], sort=False)[0],
     ))
     g = chunks.iloc[order]
     ns = g["n_points"].to_numpy(np.int64)
     ts = dod_decode_many(g["ts_blob"].tolist(), ns)
     ts *= np.repeat(g["ts_scale"].to_numpy(np.int64), ns)
     data = {
-        "conv_id": np.repeat(g["conv_id"].to_numpy(), ns),
+        key_column: np.repeat(g[key_column].to_numpy(), ns),
         "bucket_ts": ts.astype(f"datetime64[{unit}]"),
     }
     if keep_tier:
@@ -196,7 +197,8 @@ def compact_chunks(
                       if c.endswith("_blob") and c != "ts_blob"]
         unit = str(todo["start_ts"].to_numpy().dtype)
         unit = unit[unit.index("[") + 1: unit.index("]")]
-        rows = decode_chunks(todo, unit=unit, keep_tier=True)
+        rows = decode_chunks(todo, unit=unit, keep_tier=True,
+                             key_column=key_column)
         enc = TierEncoder(tier="auto", value_columns=value_cols,
                           key_column=key_column,
                           max_points_per_chunk=max_points_per_chunk)

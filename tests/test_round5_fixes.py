@@ -1,0 +1,99 @@
+"""Round-5 ADVICE fixes: compact_chunks key_column plumbing, manual-exchange
+empty-partition schema, minhash bucket-cap truncation warning."""
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _mk_tier_rows(key_name: str, n_convs: int = 5, pts: int = 40) -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(n_convs):
+        ts = np.arange(pts, dtype=np.int64) * 3_600_000_000 + c
+        rows.append(pd.DataFrame({
+            key_name: f"conv-{c}",
+            "bucket_ts": ts.astype("datetime64[us]"),
+            "value_sum": rng.normal(size=pts),
+            "value_count": rng.integers(1, 9, size=pts).astype(np.float64),
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+def test_compact_chunks_non_default_key_column(ray_session):
+    # ADVICE r4: key_column was exposed but decode_chunks/TierEncoder
+    # hardcoded 'conv_id' -> KeyError.  Round-trip under key 'stream_id'.
+    from pytimetk_ray.stages.tier_encoder import (
+        TierEncoder, compact_chunks, decode_chunks)
+
+    rows = _mk_tier_rows("stream_id")
+    rows["tier"] = "1h"
+    enc = TierEncoder(tier="auto", value_columns=["value_sum", "value_count"],
+                      key_column="stream_id", max_points_per_chunk=7)
+    chunks = enc(rows.copy())
+    assert "stream_id" in chunks.columns and "conv_id" not in chunks.columns
+    assert (chunks["n_points"] <= 7).all()
+
+    compacted = compact_chunks(
+        rd.from_pandas(chunks), key_column="stream_id",
+        max_points_per_chunk=4096, num_partitions=4).to_pandas()
+    # all 40 points of each stream now in one chunk
+    assert compacted.groupby("stream_id").size().eq(1).all()
+
+    dec = decode_chunks(compacted, key_column="stream_id").sort_values(
+        ["stream_id", "bucket_ts"]).reset_index(drop=True)
+    want = rows.drop(columns=["tier"]).sort_values(
+        ["stream_id", "bucket_ts"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        dec["value_sum"].to_numpy().view(np.uint64),
+        want["value_sum"].to_numpy().view(np.uint64))
+    np.testing.assert_array_equal(dec["bucket_ts"].to_numpy(),
+                                  want["bucket_ts"].to_numpy())
+
+
+def test_manual_exchange_empty_partition_schema(ray_session, monkeypatch):
+    # ADVICE r4: an empty partition produced a zero-column pd.DataFrame()
+    # block; downstream select_columns over mixed blocks then failed.
+    from pytimetk_ray.exec import partitioned_group_map
+
+    monkeypatch.setenv("GRAFT_EXCHANGE", "manual")
+    df = pd.DataFrame({"k": ["a"] * 3 + ["b"] * 2,
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+
+    def kern(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    # num_partitions far above the key count -> most partitions empty
+    out = partitioned_group_map(rd.from_pandas(df), ["k"], kern,
+                                num_partitions=16)
+    res = out.select_columns(["k", "v"]).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    assert res["k"].tolist() == ["a", "b"]
+    np.testing.assert_allclose(res["v"].to_numpy(), [6.0, 9.0])
+
+
+def test_minhash_bucket_cap_warns(ray_session):
+    # the cap helper warns (Ray forwards worker warnings to its logs; pin
+    # the warning at the helper level where pytest can observe it)
+    from pytimetk_ray.pipelines.dedup import _cap_bucket, minhash_lsh_pairs
+
+    ids = np.arange(30, dtype=np.int64)
+    sigs = np.array([b"x"] * 30, dtype=object)
+    with pytest.warns(RuntimeWarning, match="truncated to max_bucket=10"):
+        kept_ids, kept_sigs = _cap_bucket(ids, sigs, 10)
+    assert kept_ids.tolist() == list(range(10)) and len(kept_sigs) == 10
+
+    # end-to-end: 30 identical docs, cap 10 -> exactly C(10,2) pairs among
+    # the deterministic ids-ascending prefix
+    docs = pd.DataFrame({
+        "doc_id": ids,
+        "text": ["the same boilerplate text repeated for every doc"] * 30,
+    })
+    pairs = minhash_lsh_pairs(rd.from_pandas(docs), max_bucket=10,
+                              num_partitions=2).to_pandas()
+    assert pairs["id_b"].max() < 10
+    assert len(pairs) == 45  # C(10,2)

@@ -6,7 +6,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from pytimetk_ray.ops.memory import reduce_memory_usage
-from pytimetk_ray.ops.stubs import ts_features
+from pytimetk_ray.ops.ts_features import ts_features
 from pytimetk_ray.selection import (
     contains,
     ends_with,
