@@ -1730,10 +1730,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_ndistinct(sf_dir):
         from pytimetk_ray.ops.distinct import approx_ndistinct
 
-        # rows-only: HLL estimate (DuckDB's approx_count_distinct is a
-        # different HLL construction); error bounds pytest-pinned
+        # oracled (round 5): the sketch hashes via md5-of-string-repr
+        # (md5_number_lower parity) and HLL.estimate sums registers as an
+        # exact integer, so DuckDB rebuilds the registers from the same
+        # rows and reads off the same estimate.  ROUND 6: the linear-
+        # counting branch is ln-based (last-ULP, NOTES_r3); rel_err
+        # (1.04/64.0) is a single correctly-rounded division — exact.
         ev = _events(sf_dir).select_columns(["user_id", "event_type"])
-        return approx_ndistinct(ev, "user_id", by=["event_type"])
+        out = approx_ndistinct(ev, "user_id", by=["event_type"])
+        return _round_cols(out, ["ndistinct_est"], canon_zero=True)
 
     def gopher_rules_q(sf_dir):
         from pytimetk_ray.pipelines.text_analysis import gopher_rules
@@ -2903,6 +2908,62 @@ def oracle_sql() -> dict[str, str]:
                   FROM events e JOIN f USING (user_id))
             SELECT cohort_ts, bucket_ts, count(*) AS n_users
             FROM a GROUP BY cohort_ts, bucket_ts
+        """,
+
+        # HLL NDV rebuilt register-for-register: h = md5_number_lower(str)
+        # (== kernels.text.md5_u64), idx = h >> 52, rank = 52 - highest set
+        # bit of (h & (2^52-1)) (53 when zero) — exactly HLL.update_hashes
+        # at p=12.  The register sum is an exact integer (S = sum 2^(53-reg),
+        # absent registers contribute 2^53), so the raw estimate is the
+        # same term-for-term float expression as HLL.estimate; the linear-
+        # counting branch is ln-based => ROUND 6 (NOTES_r3 last-ULP rule).
+        # Highest set bit via MAX over a bits table — floor(log2(r)) on
+        # doubles is WRONG near powers of two (log2(2^51-1) rounds to 51.0).
+        "events_ndistinct": """
+            WITH dv AS (
+                SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s
+                FROM events
+            ),
+            ir AS (
+                SELECT event_type,
+                       CAST(md5_number_lower(s) >> 52 AS BIGINT) AS idx,
+                       CAST(md5_number_lower(s) & 4503599627370495 AS BIGINT) AS r
+                FROM dv
+            ),
+            bits AS (SELECT UNNEST(generate_series(0, 51)) AS e),
+            rowrank AS (
+                SELECT i.event_type, i.idx,
+                       CASE WHEN i.r = 0 THEN 53
+                            ELSE 52 - MAX(CASE WHEN (CAST(1 AS BIGINT) << b.e) <= i.r
+                                               THEN b.e END)
+                       END AS rank
+                FROM ir i CROSS JOIN bits b
+                GROUP BY i.event_type, i.idx, i.r
+            ),
+            regs AS (
+                SELECT event_type, idx, MAX(rank) AS reg
+                FROM rowrank GROUP BY event_type, idx
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(4096 - COUNT(*) AS BIGINT) AS zeros,
+                       CAST(SUM(CAST(1 AS BIGINT) << (53 - reg))
+                            + CAST(4096 - COUNT(*) AS HUGEINT) * 9007199254740992
+                            AS DOUBLE) AS s
+                FROM regs GROUP BY event_type
+            ),
+            fin AS (
+                SELECT event_type, zeros,
+                       0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                           * 9007199254740992.0 / s AS e_raw
+                FROM st
+            )
+            SELECT event_type,
+                   ROUND(CASE WHEN e_raw <= 10240.0 AND zeros > 0
+                              THEN 4096.0 * ln(4096.0 / zeros)
+                              ELSE e_raw END, 6) + 0 AS ndistinct_est,
+                   1.04 / 64.0 AS rel_err
+            FROM fin
         """,
 
         # SpaceSaving top-50 in the EXACT regime (capacity >= distinct

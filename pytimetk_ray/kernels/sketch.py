@@ -224,8 +224,16 @@ class HLL:
             alpha = 0.697
         else:
             alpha = 0.673
-        inv = np.ldexp(1.0, -self.regs.astype(np.int64))
-        e = alpha * m * m / inv.sum()
+        # sum(2^-reg) accumulated as an EXACT integer: S = sum 2^(B-reg)
+        # with B = max rank, so sum(2^-reg) == S / 2^B with no float
+        # summation-order dependence.  This makes the estimate reproducible
+        # from SQL-built registers (the events_ndistinct oracle) — the only
+        # remaining float ops below are individually correctly-rounded and
+        # mirrored term-for-term in the SQL.
+        B = 64 - self.p + 1
+        counts = np.bincount(self.regs, minlength=B + 1)
+        S = sum(int(c) << (B - r) for r, c in enumerate(counts) if c)
+        e = alpha * m * m * float(1 << B) / float(S)
         if e <= 2.5 * m:
             zeros = int((self.regs == 0).sum())
             if zeros:

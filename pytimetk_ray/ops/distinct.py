@@ -8,10 +8,15 @@ p=12, ~1.6% standard error), merged by a tiny keyed reduce.  Register max
 is associative and commutative, so the estimate is bit-reproducible across
 block layouts — stronger than KLL's layout-dependent determinism.
 
-No SQL oracle (DuckDB's approx_count_distinct uses a different HLL
-construction); correctness is pinned by error-bound and merge-equivalence
-tests, and each query row carries the sketch's nominal standard error so
-downstream consumers know the contract.
+SQL oracle: values hash via md5-of-string-repr (== DuckDB
+``md5_number_lower(CAST(v AS VARCHAR))``, the same parity chain proven for
+MinHash/SimHash), and ``HLL.estimate`` accumulates the register sum as an
+EXACT integer, so the whole register state — and the final estimate up to
+one last-ULP ``ln`` difference in the linear-counting branch — is
+reproducible in DuckDB from the same rows (see ``events_ndistinct`` in
+``__ray_entry__.oracle_sql``).  Error bounds and merge-equivalence remain
+pytest-pinned, and each query row carries the sketch's nominal standard
+error so downstream consumers know the contract.
 """
 
 from __future__ import annotations
@@ -25,10 +30,17 @@ import ray.data as rd
 
 from pytimetk_ray.exec import partitioned_group_map
 from pytimetk_ray.kernels.sketch import HLL
+from pytimetk_ray.kernels.text import md5_u64_many
 
 
 def _hash_col(s: pd.Series) -> np.ndarray:
-    return pd.util.hash_array(s.to_numpy())
+    """md5-of-string-repr, uint64 — engine-independent (DuckDB
+    ``md5_number_lower`` parity) so the sketch is SQL-checkable.  Hash
+    uniques only and gather: md5 is the per-row cost here, and batches
+    repeat keys heavily."""
+    codes, uniques = pd.factorize(s, sort=False, use_na_sentinel=False)
+    uh = md5_u64_many([str(v) for v in uniques])
+    return uh[codes]
 
 
 def approx_ndistinct(
