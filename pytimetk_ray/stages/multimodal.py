@@ -8,11 +8,13 @@ worker heap; let the object store spill, never hold Python lists).
 
 The codec libraries (Pillow / soundfile) are import-guarded: when present,
 ``use_fake_decode=False`` decodes for real (codec loaded ONCE per actor in
-``__init__`` — the actor-pool pattern); when absent, construction raises
-ImportError at actor-build time with the fix spelled out.
-``use_fake_decode=True`` (default) produces a deterministic fake (seeded
-from the payload hash) with the real output schema so every surrounding
-stage stays testable in codec-less environments.
+``__init__`` — the actor-pool pattern).  When absent, the real branch
+falls back to the stdlib-only codecs in :mod:`.media_codec` (PNG via
+zlib-unfilter, WAV via ``wave``) — so real decode is exact-pinned by tests
+even in codec-less containers; payloads in other formats raise with the
+install fix spelled out.  ``use_fake_decode=True`` (default) produces a
+deterministic fake (seeded from the payload hash) with the real output
+schema so every surrounding stage stays testable on synthetic payloads.
 """
 
 from __future__ import annotations
@@ -45,12 +47,14 @@ def _import_soundfile():
 class ImageDecoder:
     """binary payload -> fixed-size float32 pixel tensor (H*W*C flat).
 
-    ``use_fake_decode=False`` + Pillow present: real decode —
-    open/convert/resize per payload, normalized to [0, 1].  The codec import
-    happens once per actor in ``__init__``.  Without Pillow the constructor
-    raises ImportError (so a misconfigured pipeline fails at actor build,
-    not per batch).  The fake decoder derives a deterministic array from the
-    payload hash."""
+    ``use_fake_decode=False``: real decode, normalized to [0, 1].  With
+    Pillow importable it handles any PIL format (convert + resize); the
+    import happens once per actor in ``__init__``.  Without Pillow, PNG
+    payloads decode via the stdlib :mod:`.media_codec` path (channel
+    conversion with PIL's ITU-R 601-2 luma integers, nearest-neighbor
+    resize when dimensions differ) and other formats raise ValueError with
+    the install fix.  The fake decoder derives a deterministic array from
+    the payload hash."""
 
     def __init__(self, height: int = 32, width: int = 32, channels: int = 3,
                  use_fake_decode: bool = True):
@@ -58,15 +62,40 @@ class ImageDecoder:
         self.use_fake_decode = use_fake_decode
         if not use_fake_decode:
             self._pil = _import_pil()
-            if self._pil is None:
-                raise ImportError(
-                    "real image decode requires Pillow (pip install Pillow); "
-                    "it is not importable here — construct with "
-                    "use_fake_decode=True for the deterministic stub")
+
+    def _decode_builtin(self, payload: bytes) -> np.ndarray:
+        from pytimetk_ray.stages.media_codec import png_decode
+
+        h, w, c = self.shape
+        arr = png_decode(payload).astype(np.int64)  # (H0, W0, C0)
+        c0 = arr.shape[2]
+        if c0 == 2:  # gray+alpha -> gray (alpha dropped, as PIL convert)
+            arr = arr[:, :, :1]
+            c0 = 1
+        elif c0 == 4:  # RGBA -> RGB
+            arr = arr[:, :, :3]
+            c0 = 3
+        if c == 1 and c0 == 3:  # PIL "L": truncated ITU-R 601-2 luma
+            arr = ((arr[:, :, 0] * 299 + arr[:, :, 1] * 587
+                    + arr[:, :, 2] * 114) // 1000)[:, :, None]
+        elif c == 3 and c0 == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        h0, w0 = arr.shape[:2]
+        if (h0, w0) != (h, w):  # nearest-neighbor floor sampling
+            arr = arr[np.minimum((np.arange(h) * h0) // h, h0 - 1)][
+                :, np.minimum((np.arange(w) * w0) // w, w0 - 1)]
+        return (arr.astype(np.float32) / np.float32(255.0)).reshape(-1)
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         h, w, c = self.shape
         if not self.use_fake_decode:
+            if self._pil is None:
+                if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                    return self._decode_builtin(payload)
+                raise ValueError(
+                    "real decode of non-PNG payloads requires Pillow "
+                    "(pip install Pillow); only the stdlib PNG path is "
+                    "available in this environment")
             img = self._pil.open(io.BytesIO(payload))
             img = img.convert("L" if c == 1 else "RGB").resize((w, h))
             arr = np.asarray(img, dtype=np.float32) / np.float32(255.0)
@@ -92,24 +121,30 @@ class ImageDecoder:
 class AudioFrameSampler:
     """binary payload -> per-frame RMS energy over ``n_frames`` equal chunks.
 
-    ``use_fake_decode=False`` + soundfile present: real decode (mono-mixed,
-    chunked RMS); without soundfile the constructor raises ImportError.
-    Fake path: deterministic energies from the payload hash."""
+    ``use_fake_decode=False``: real decode (mono-mixed, chunked RMS) —
+    soundfile when importable, else the stdlib :mod:`.media_codec` WAV path
+    (same float32 convention; non-WAV payloads then raise).  Fake path:
+    deterministic energies from the payload hash."""
 
     def __init__(self, n_frames: int = 16, use_fake_decode: bool = True):
         self.n_frames = n_frames
         self.use_fake_decode = use_fake_decode
         if not use_fake_decode:
             self._sf = _import_soundfile()
-            if self._sf is None:
-                raise ImportError(
-                    "real audio decode requires soundfile (pip install "
-                    "soundfile); it is not importable here — construct with "
-                    "use_fake_decode=True for the deterministic stub")
 
     def _energies_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decode:
-            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            if self._sf is not None:
+                data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            else:
+                if bytes(payload[:4]) != b"RIFF":
+                    raise ValueError(
+                        "real decode of non-WAV payloads requires soundfile "
+                        "(pip install soundfile); only the stdlib WAV path "
+                        "is available in this environment")
+                from pytimetk_ray.stages.media_codec import wav_decode
+
+                data, _sr = wav_decode(payload)
             if data.ndim > 1:
                 data = data.mean(axis=1)
             chunks = np.array_split(data, self.n_frames)

@@ -159,9 +159,10 @@ def test_multimodal_stub():
 
 
 def test_multimodal_real_decode_import_guard():
-    # without Pillow/soundfile the REAL path must fail at actor construction
-    # with an actionable ImportError (not NotImplementedError per batch);
-    # with the libs present it must actually decode
+    # round 5: without Pillow/soundfile the REAL path now falls back to the
+    # stdlib PNG/WAV codecs (exact pins in test_multimodal_real.py); only a
+    # payload in an unsupported format raises, with the install fix named.
+    # With the libs present it must actually decode through them.
     from pytimetk_ray.stages.multimodal import (
         AudioFrameSampler,
         ImageDecoder,
@@ -170,8 +171,9 @@ def test_multimodal_real_decode_import_guard():
     )
 
     if _import_pil() is None:
-        with pytest.raises(ImportError, match="Pillow"):
-            ImageDecoder(use_fake_decode=False)
+        dec = ImageDecoder(use_fake_decode=False)
+        with pytest.raises(ValueError, match="Pillow"):
+            dec._decode_one(b"\xff\xd8\xff\xe0 jpeg bytes")
     else:
         import io
 
@@ -185,8 +187,9 @@ def test_multimodal_real_decode_import_guard():
         np.testing.assert_allclose(px.reshape(4, 4, 3)[..., 0], 1.0)
         np.testing.assert_allclose(px.reshape(4, 4, 3)[..., 1], 0.0)
     if _import_soundfile() is None:
-        with pytest.raises(ImportError, match="soundfile"):
-            AudioFrameSampler(use_fake_decode=False)
+        samp = AudioFrameSampler(use_fake_decode=False)
+        with pytest.raises(ValueError, match="soundfile"):
+            samp._energies_one(b"OggS not wav")
     else:
         import io
 
