@@ -1245,6 +1245,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   "before_holiday", "after_holiday",
                                   "holiday_name"])
 
+    def holiday_signature_kr_cn_za(sf_dir):
+        # round-5 calendars: KR (Gregorian subset + 2014/2021/2023
+        # substitute-Monday rules), CN (fixed + Qingming solar-term
+        # approximation), ZA (Public Holidays Act incl. the Sunday rule);
+        # oracle lists the hand-derived official dates
+        import ray.data as rd2
+
+        days = pd.date_range("2024-01-01", "2025-12-31", freq="D").astype(
+            "datetime64[us]")
+        parts = []
+        for ctry in ("KR", "CN", "ZA"):
+            d = rd2.from_pandas(pd.DataFrame({"d": days}))
+            t = augment_holiday_signature(d, "d", country=ctry, concurrency=2)
+            t = t.map_batches(
+                lambda b, c=ctry: b.assign(country=c), batch_format="pandas")
+            parts.append(t)
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        ds = _cast_int64(ds, ["is_holiday", "before_holiday", "after_holiday"])
+        return ds.select_columns(["country", "d", "is_holiday",
+                                  "before_holiday", "after_holiday",
+                                  "holiday_name"])
+
     def augment_pct_change(sf_dir):
         ds = tk.augment_pct_change(_events(sf_dir), ["user_id"], ["ts"], "value", periods=1)
         ds = _nan_to_null(ds, ["value_pctdiff_1"])
@@ -1919,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fin_risk_log": fin_risk_log,
         "holiday_signature_multi": holiday_signature_multi,
         "holiday_signature_4ctry": holiday_signature_4ctry,
+        "holiday_signature_kr_cn_za": holiday_signature_kr_cn_za,
         "cv_folds_backward": cv_folds_backward,
         "bpe_tokenize": bpe_tokenize,
         "dsir_resample": dsir_resample_q,
@@ -4044,6 +4069,94 @@ def oracle_sql() -> dict[str, str]:
                                               INTERVAL 1 DAY)) AS d
             ),
             cc(country) AS (VALUES ('UK'), ('DE'))
+            SELECT cc.country, days.d,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE)) AS BIGINT) AS is_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) + 1) AS BIGINT) AS before_holiday,
+                   CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
+                               AND cal.hd = CAST(days.d AS DATE) - 1) AS BIGINT) AS after_holiday,
+                   (SELECT name FROM cal WHERE cal.country = cc.country
+                    AND cal.hd = CAST(days.d AS DATE)) AS holiday_name
+            FROM days CROSS JOIN cc
+        """,
+        "holiday_signature_kr_cn_za": """
+            -- hand-derived official 2024-2025 calendars for the round-5
+            -- builtins: KR Gregorian-dated subset (substitute Mondays:
+            -- Children's Day 2024-05-05 Sun -> 05-06; Independence Movement
+            -- Day 2025-03-01 Sat -> 03-03; lunisolar holidays documented
+            -- out of scope), CN fixed + Qingming (2024-04-04, 2025-04-04),
+            -- ZA Public Holidays Act incl. Sunday rule (Youth Day
+            -- 2024-06-16 Sun -> 06-17; Freedom Day 2025-04-27 Sun -> 04-28);
+            -- 2026-01-01 closes the range for before_holiday
+            WITH cal(country, hd, name) AS (
+                VALUES
+                ('KR', DATE '2024-01-01', 'New Year''s Day'),
+                ('KR', DATE '2024-03-01', 'Independence Movement Day'),
+                ('KR', DATE '2024-05-05', 'Children''s Day'),
+                ('KR', DATE '2024-05-06', 'Children''s Day (substitute)'),
+                ('KR', DATE '2024-06-06', 'Memorial Day'),
+                ('KR', DATE '2024-08-15', 'Liberation Day'),
+                ('KR', DATE '2024-10-03', 'National Foundation Day'),
+                ('KR', DATE '2024-10-09', 'Hangeul Day'),
+                ('KR', DATE '2024-12-25', 'Christmas Day'),
+                ('KR', DATE '2025-01-01', 'New Year''s Day'),
+                ('KR', DATE '2025-03-01', 'Independence Movement Day'),
+                ('KR', DATE '2025-03-03', 'Independence Movement Day (substitute)'),
+                ('KR', DATE '2025-05-05', 'Children''s Day'),
+                ('KR', DATE '2025-06-06', 'Memorial Day'),
+                ('KR', DATE '2025-08-15', 'Liberation Day'),
+                ('KR', DATE '2025-10-03', 'National Foundation Day'),
+                ('KR', DATE '2025-10-09', 'Hangeul Day'),
+                ('KR', DATE '2025-12-25', 'Christmas Day'),
+                ('KR', DATE '2026-01-01', 'New Year''s Day'),
+                ('CN', DATE '2024-01-01', 'New Year''s Day'),
+                ('CN', DATE '2024-04-04', 'Qingming Festival'),
+                ('CN', DATE '2024-05-01', 'Labour Day'),
+                ('CN', DATE '2024-10-01', 'National Day'),
+                ('CN', DATE '2024-10-02', 'National Day'),
+                ('CN', DATE '2024-10-03', 'National Day'),
+                ('CN', DATE '2025-01-01', 'New Year''s Day'),
+                ('CN', DATE '2025-04-04', 'Qingming Festival'),
+                ('CN', DATE '2025-05-01', 'Labour Day'),
+                ('CN', DATE '2025-10-01', 'National Day'),
+                ('CN', DATE '2025-10-02', 'National Day'),
+                ('CN', DATE '2025-10-03', 'National Day'),
+                ('CN', DATE '2026-01-01', 'New Year''s Day'),
+                ('ZA', DATE '2024-01-01', 'New Year''s Day'),
+                ('ZA', DATE '2024-03-21', 'Human Rights Day'),
+                ('ZA', DATE '2024-03-29', 'Good Friday'),
+                ('ZA', DATE '2024-04-01', 'Family Day'),
+                ('ZA', DATE '2024-04-27', 'Freedom Day'),
+                ('ZA', DATE '2024-05-01', 'Workers'' Day'),
+                ('ZA', DATE '2024-06-16', 'Youth Day'),
+                ('ZA', DATE '2024-06-17', 'Youth Day (observed)'),
+                ('ZA', DATE '2024-08-09', 'National Women''s Day'),
+                ('ZA', DATE '2024-09-24', 'Heritage Day'),
+                ('ZA', DATE '2024-12-16', 'Day of Reconciliation'),
+                ('ZA', DATE '2024-12-25', 'Christmas Day'),
+                ('ZA', DATE '2024-12-26', 'Day of Goodwill'),
+                ('ZA', DATE '2025-01-01', 'New Year''s Day'),
+                ('ZA', DATE '2025-03-21', 'Human Rights Day'),
+                ('ZA', DATE '2025-04-18', 'Good Friday'),
+                ('ZA', DATE '2025-04-21', 'Family Day'),
+                ('ZA', DATE '2025-04-27', 'Freedom Day'),
+                ('ZA', DATE '2025-04-28', 'Freedom Day (observed)'),
+                ('ZA', DATE '2025-05-01', 'Workers'' Day'),
+                ('ZA', DATE '2025-06-16', 'Youth Day'),
+                ('ZA', DATE '2025-08-09', 'National Women''s Day'),
+                ('ZA', DATE '2025-09-24', 'Heritage Day'),
+                ('ZA', DATE '2025-12-16', 'Day of Reconciliation'),
+                ('ZA', DATE '2025-12-25', 'Christmas Day'),
+                ('ZA', DATE '2025-12-26', 'Day of Goodwill'),
+                ('ZA', DATE '2026-01-01', 'New Year''s Day')
+            ),
+            days AS (
+                SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2025-12-31',
+                                              INTERVAL 1 DAY)) AS d
+            ),
+            cc(country) AS (VALUES ('KR'), ('CN'), ('ZA'))
             SELECT cc.country, days.d,
                    CAST(EXISTS(SELECT 1 FROM cal WHERE cal.country = cc.country
                                AND cal.hd = CAST(days.d AS DATE)) AS BIGINT) AS is_holiday,

@@ -5,11 +5,13 @@ Reference: src/pytimetk/feature_engineering/holiday_signature.py:33-46
 ``before_holiday`` / ``after_holiday`` are +/-1-day shifts of membership).
 
 The reference uses the ``holidays`` package (not in this environment);
-built-in algorithmic calendars stand in for fourteen country codes
-(US/UK/GB/DE/FR/CA/AU/ES/IT/NL/JP/BR/IN/MX — fixed dates, nth-weekday
-rules, Easter computus, equinox approximation, weekend-substitute rules),
-and any installed ``holidays`` package is used when present (import-try)
-for every other country code.  The calendar is an
+built-in algorithmic calendars stand in for seventeen country codes
+(US/UK/GB/DE/FR/CA/AU/ES/IT/NL/JP/BR/IN/MX/KR/CN/ZA — fixed dates,
+nth-weekday rules, Easter computus, equinox/solar-term approximations,
+weekend-substitute rules; KR/CN cover the Gregorian-dated subset, their
+lunisolar holidays need year-specific tables and are documented out of
+algorithmic scope), and any installed ``holidays`` package is used when
+present (import-try) for every other country code.  The calendar is an
 ACTOR-POOL state: built once per worker in ``__init__`` (the reference
 rebuilds it per call — SURVEY.md §2.2 maps that to actor state)."""
 
@@ -348,6 +350,84 @@ def mx_holidays(year: int) -> dict[dt.date, str]:
     return cal
 
 
+def kr_holidays(year: int) -> dict[dt.date, str]:
+    """South Korean public holidays — Gregorian-dated subset.  Seollal,
+    Buddha's Birthday and Chuseok follow the Korean lunisolar calendar
+    (year-specific conversion tables) and are out of algorithmic scope —
+    the optional ``holidays`` package covers them when installed.
+    Substitute-Monday rules (weekend -> next working day): Children's Day
+    since 2014; the 2021 amendment extends them to Independence Movement
+    Day, Liberation Day, National Foundation Day and Hangeul Day."""
+    cal = {
+        dt.date(year, 1, 1): "New Year's Day",
+        dt.date(year, 3, 1): "Independence Movement Day",
+        dt.date(year, 5, 5): "Children's Day",
+        dt.date(year, 6, 6): "Memorial Day",
+        dt.date(year, 8, 15): "Liberation Day",
+        dt.date(year, 10, 3): "National Foundation Day",
+        dt.date(year, 10, 9): "Hangeul Day",
+        dt.date(year, 12, 25): "Christmas Day",
+    }
+    eligible = {(5, 5): 2014, (3, 1): 2022, (8, 15): 2022, (10, 3): 2022,
+                (10, 9): 2022, (12, 25): 2023}
+    subs = {}
+    for d, name in cal.items():
+        since = eligible.get((d.month, d.day))
+        if since is not None and year >= since and d.weekday() >= 5:
+            subs[_next_monday(d)] = f"{name} (substitute)"
+    cal.update(subs)
+    return cal
+
+
+def _qingming(year: int) -> dt.date:
+    """Qingming solar term (sun at 15 deg) — public approximation for
+    2000-2099: day = floor(0.2422*Y + 4.81) - floor(Y/4), Y = year-2000."""
+    y = year - 2000
+    return dt.date(year, 4, int(0.2422 * y + 4.81) - y // 4)
+
+
+def cn_holidays(year: int) -> dict[dt.date, str]:
+    """Chinese statutory holidays — fixed/solar-term subset (New Year,
+    Qingming, Labour Day, National Day Oct 1-3).  Spring Festival, Dragon
+    Boat and Mid-Autumn follow the Chinese lunisolar calendar and the
+    State Council's year-specific bridge-day notices — out of algorithmic
+    scope (optional ``holidays`` package covers them when installed)."""
+    return {
+        dt.date(year, 1, 1): "New Year's Day",
+        _qingming(year): "Qingming Festival",
+        dt.date(year, 5, 1): "Labour Day",
+        dt.date(year, 10, 1): "National Day",
+        dt.date(year, 10, 2): "National Day",
+        dt.date(year, 10, 3): "National Day",
+    }
+
+
+def za_holidays(year: int) -> dict[dt.date, str]:
+    """South African public holidays (Public Holidays Act 36 of 1994):
+    twelve statutory days incl. Easter-derived Good Friday / Family Day,
+    plus the Act's Sunday rule — a holiday falling on a Sunday makes the
+    following Monday a holiday too."""
+    e = easter(year)
+    cal = {
+        dt.date(year, 1, 1): "New Year's Day",
+        dt.date(year, 3, 21): "Human Rights Day",
+        e - dt.timedelta(days=2): "Good Friday",
+        e + dt.timedelta(days=1): "Family Day",
+        dt.date(year, 4, 27): "Freedom Day",
+        dt.date(year, 5, 1): "Workers' Day",
+        dt.date(year, 6, 16): "Youth Day",
+        dt.date(year, 8, 9): "National Women's Day",
+        dt.date(year, 9, 24): "Heritage Day",
+        dt.date(year, 12, 16): "Day of Reconciliation",
+        dt.date(year, 12, 25): "Christmas Day",
+        dt.date(year, 12, 26): "Day of Goodwill",
+    }
+    subs = {d + dt.timedelta(days=1): f"{name} (observed)"
+            for d, name in cal.items() if d.weekday() == 6}
+    cal.update(subs)
+    return cal
+
+
 _BUILTIN_CALENDARS = {
     "US": us_federal_holidays,
     "UK": uk_holidays,
@@ -363,6 +443,9 @@ _BUILTIN_CALENDARS = {
     "BR": br_holidays,
     "IN": in_holidays,
     "MX": mx_holidays,
+    "KR": kr_holidays,
+    "CN": cn_holidays,
+    "ZA": za_holidays,
 }
 
 
@@ -381,9 +464,12 @@ class HolidayTagger:
             fn = _BUILTIN_CALENDARS.get(country.upper())
             if fn is None:
                 raise NotImplementedError(
-                    f"no built-in calendar for {country!r} (have "
-                    f"{sorted(set(_BUILTIN_CALENDARS))}) and the 'holidays' "
-                    "package is not installed"
+                    f"no built-in calendar for {country!r}: built-ins cover "
+                    f"{sorted(set(_BUILTIN_CALENDARS))} (algorithmic rules; "
+                    "KR/CN are the Gregorian-dated subset — lunisolar "
+                    "holidays need year tables).  Any other code works via "
+                    "the optional 'holidays' package: pip install holidays, "
+                    "then this same call picks it up automatically"
                 )
             for y in years:
                 cal.update(fn(y))

@@ -116,7 +116,8 @@ def test_tagger_external_package_path(monkeypatch):
         import pytest
 
         with pytest.raises(NotImplementedError, match="built-in calendar"):
-            HolidayTagger("ts", country="KR", years=range(2024, 2025))
+            # KR became a builtin in round 5; XX stays unknown
+            HolidayTagger("ts", country="XX", years=range(2024, 2025))
         # fake module: any country code the package would support
         fake = types.ModuleType("holidays")
 
@@ -258,9 +259,64 @@ def test_br_in_fixed_dates():
     }
 
 
-def test_builtin_registry_has_fourteen_entries():
+def test_builtin_registry_entries():
     from pytimetk_ray.ops.holiday import _BUILTIN_CALENDARS
 
     assert set(_BUILTIN_CALENDARS) == {
         "US", "UK", "GB", "DE", "FR", "CA", "AU", "ES", "IT", "NL",
-        "JP", "BR", "IN", "MX"}
+        "JP", "BR", "IN", "MX", "KR", "CN", "ZA"}
+
+
+def test_kr_substitute_rules():
+    from pytimetk_ray.ops.holiday import kr_holidays
+
+    kr24 = kr_holidays(2024)
+    # Children's Day 2024-05-05 is a Sunday -> substitute Monday
+    assert kr24[dt.date(2024, 5, 6)] == "Children's Day (substitute)"
+    # Independence Movement Day 2025-03-01 is a Saturday -> Monday 03-03
+    assert kr_holidays(2025)[dt.date(2025, 3, 3)] == \
+        "Independence Movement Day (substitute)"
+    # Children's Day substitute predates the 2021 amendment (since 2014)...
+    assert dt.date(2019, 5, 6) in kr_holidays(2019)   # 2019-05-05 Sunday
+    # ...but Hangeul Day's does not (2021-10-09 was a Saturday, pre-rule
+    # holidays only gained substitutes from 2022)
+    assert dt.date(2021, 10, 11) not in kr_holidays(2021)
+    # Christmas substitute only from 2023 (2022-12-25 was a Sunday)
+    assert dt.date(2022, 12, 26) not in kr_holidays(2022)
+
+
+def test_cn_qingming_and_fixed():
+    from pytimetk_ray.ops.holiday import cn_holidays
+
+    cn24 = cn_holidays(2024)
+    assert cn24[dt.date(2024, 4, 4)] == "Qingming Festival"
+    assert cn_holidays(2025)[dt.date(2025, 4, 4)] == "Qingming Festival"
+    assert cn_holidays(2023)[dt.date(2023, 4, 5)] == "Qingming Festival"
+    assert {d for d in cn24 if d.month == 10} == {
+        dt.date(2024, 10, 1), dt.date(2024, 10, 2), dt.date(2024, 10, 3)}
+
+
+def test_za_sunday_rule():
+    from pytimetk_ray.ops.holiday import za_holidays
+
+    za24 = za_holidays(2024)
+    assert za24[dt.date(2024, 6, 17)] == "Youth Day (observed)"  # 06-16 Sun
+    assert za24[dt.date(2024, 4, 1)] == "Family Day"
+    za25 = za_holidays(2025)
+    assert za25[dt.date(2025, 4, 28)] == "Freedom Day (observed)"
+    assert dt.date(2025, 6, 17) not in za25  # 2025-06-16 is a Monday
+    assert za25[dt.date(2025, 4, 18)] == "Good Friday"
+
+
+def test_unknown_country_error_is_actionable():
+    from pytimetk_ray.ops.holiday import HolidayTagger
+
+    try:
+        import holidays  # noqa: F401
+        pytest.skip("external holidays package present; fallback unreachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError) as exc:
+        HolidayTagger("d", country="XX")
+    msg = str(exc.value)
+    assert "pip install holidays" in msg and "'KR'" in msg and "'ZA'" in msg
