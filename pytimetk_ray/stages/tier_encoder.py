@@ -210,3 +210,86 @@ def compact_chunks(
         chunks, [key_column], kernel,
         sort_by=[key_column, "tier", "start_ts"],
         num_partitions=num_partitions or DEFAULT_NUM_PARTITIONS)
+
+
+def ingest_chunks(
+    chunks_dir: str,
+    new_rows,
+    *,
+    key_column: str = "conv_id",
+    value_columns: list[str] | None = None,
+    max_points_per_chunk: int = 4096,
+    frag_threshold: float = 0.25,
+    num_partitions: int | None = None,
+    encode_concurrency: int = 2,
+) -> dict:
+    """Incremental ingest into an ENCODED chunk store with auto-compaction
+    (round-5 policy: long-lived stores self-heal instead of waiting for a
+    manual ``compact_chunks`` run).
+
+    1. Encode ``new_rows`` (tier rows: key/tier/bucket_ts/values) into
+       chunk rows and APPEND them to ``chunks_dir`` — chunk streams
+       compose, so an append is always correct, just fragmenting.
+    2. Probe fragmentation from the ``n_points`` column alone (column-
+       pruned read — two global sums, no per-stream state, scale-
+       independent driver memory): ``fill = points / (chunks * max)``.
+    3. If ``fill < frag_threshold``, rewrite the store through
+       ``compact_chunks`` into a sibling directory and swap it in
+       (old dir is renamed aside first, so a crash leaves either the old
+       or the new complete store; a leftover ``.old`` from a crashed swap
+       is restored on the next call before anything else).
+
+    Mean fill is a conservative trigger: streams shorter than
+    ``max_points_per_chunk`` can never reach fill 1.0, so 0.25 means
+    "roughly 4x more chunks than a full rewrite would produce".  The
+    decoded-rows bit-equality invariant of ``compact_chunks`` applies.
+
+    Returns ``{"fill": float, "compacted": bool, "chunks": int,
+    "points": int}`` (post-ingest, pre-compaction numbers).
+
+    The PARQUET tier store needs no analogue: ``ingest_increment``
+    recomputes whole partitions from raw, so it never fragments."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from pytimetk_ray.exec import DEFAULT_NUM_PARTITIONS
+
+    nparts = num_partitions or DEFAULT_NUM_PARTITIONS
+    old_dir = chunks_dir.rstrip("/") + ".old"
+    tmp_dir = chunks_dir.rstrip("/") + ".compacting"
+    if not os.path.isdir(chunks_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, chunks_dir)  # recover a crashed swap
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    enc = new_rows.map_batches(
+        TierEncoder,
+        fn_constructor_kwargs=dict(
+            tier="auto", key_column=key_column, value_columns=value_columns,
+            max_points_per_chunk=max_points_per_chunk),
+        batch_format="pandas", batch_size=None,
+        concurrency=encode_concurrency)
+    enc.write_parquet(chunks_dir)
+
+    stats = rd.read_parquet(chunks_dir, columns=["n_points"]).aggregate(
+        rd.aggregate.Sum("n_points", alias_name="points"),
+        rd.aggregate.Count(alias_name="chunks"))
+    points = int(stats["points"])
+    n_chunks = int(stats["chunks"])
+    fill = points / (n_chunks * max_points_per_chunk) if n_chunks else 1.0
+    out = {"fill": fill, "compacted": False, "chunks": n_chunks,
+           "points": points}
+    if fill >= frag_threshold:
+        return out
+    compacted = compact_chunks(
+        rd.read_parquet(chunks_dir), key_column=key_column,
+        max_points_per_chunk=max_points_per_chunk, num_partitions=nparts)
+    compacted.write_parquet(tmp_dir)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(chunks_dir, old_dir)
+    os.rename(tmp_dir, chunks_dir)
+    shutil.rmtree(old_dir)
+    out["compacted"] = True
+    return out

@@ -76,6 +76,77 @@ def test_manual_exchange_empty_partition_schema(ray_session, monkeypatch):
     np.testing.assert_allclose(res["v"].to_numpy(), [6.0, 9.0])
 
 
+def test_ingest_chunks_auto_compaction(tmp_path, ray_session):
+    # round-5 policy: N small increments fragment the encoded store until
+    # mean fill drops below frag_threshold, then ONE ingest triggers the
+    # compaction rewrite; decoded rows stay bit-equal throughout
+    from pytimetk_ray.stages.tier_encoder import decode_chunks, ingest_chunks
+
+    store = str(tmp_path / "chunks")
+    rows = _mk_tier_rows("conv_id", n_convs=4, pts=96)
+    rows["tier"] = "1h"
+    pieces = np.array_split(np.arange(96), 12)  # 12 increments of 8 points
+
+    compact_events = []
+    for i, idx in enumerate(pieces):
+        inc = pd.concat(
+            [g.iloc[idx] for _, g in rows.groupby("conv_id", sort=False)],
+            ignore_index=True)
+        res = ingest_chunks(store, rd.from_pandas(inc),
+                            value_columns=["value_sum", "value_count"],
+                            max_points_per_chunk=64, frag_threshold=0.25,
+                            num_partitions=4, encode_concurrency=1)
+        if res["compacted"]:
+            compact_events.append(i)
+    # 8/64 fill = 0.125 < 0.25 -> the very first ingest already compacts;
+    # after a compaction the store is 1-2 chunks/conv (fill >= 0.25 once
+    # enough points accumulate), so compaction fires on SOME but not all
+    assert compact_events, "no ingest ever triggered auto-compaction"
+    assert len(compact_events) < 12, "every ingest compacted (threshold dead)"
+
+    final = pd.read_parquet(store)
+    dec = decode_chunks(final).sort_values(
+        ["conv_id", "bucket_ts"]).reset_index(drop=True)
+    want = rows.drop(columns=["tier"]).sort_values(
+        ["conv_id", "bucket_ts"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        dec["value_sum"].to_numpy().view(np.uint64),
+        want["value_sum"].to_numpy().view(np.uint64))
+    np.testing.assert_array_equal(dec["bucket_ts"].to_numpy(),
+                                  want["bucket_ts"].to_numpy())
+    # near-minimal modulo the appends after the LAST compaction: at most
+    # 2 compacted chunks (96 pts / 64 cap) + one append chunk per
+    # post-compaction increment — far below the 12 of a never-compacted
+    # store
+    per_conv = final.groupby("conv_id").size()
+    assert per_conv.max() <= 2 + (11 - compact_events[-1])
+    assert per_conv.max() < 12
+
+
+def test_ingest_chunks_crash_recovery(tmp_path, ray_session):
+    # a crashed swap leaves only the .old directory; the next call restores
+    import os
+    import shutil
+
+    from pytimetk_ray.stages.tier_encoder import ingest_chunks
+
+    store = str(tmp_path / "chunks")
+    rows = _mk_tier_rows("conv_id", n_convs=2, pts=16)
+    rows["tier"] = "1h"
+    ingest_chunks(store, rd.from_pandas(rows),
+                  value_columns=["value_sum", "value_count"],
+                  max_points_per_chunk=64, frag_threshold=0.0,  # no compact
+                  num_partitions=2, encode_concurrency=1)
+    os.rename(store, store + ".old")  # simulate crash mid-swap
+    res = ingest_chunks(store, rd.from_pandas(rows.iloc[:4]),
+                        value_columns=["value_sum", "value_count"],
+                        max_points_per_chunk=64, frag_threshold=0.0,
+                        num_partitions=2, encode_concurrency=1)
+    assert not os.path.isdir(store + ".old")
+    assert res["points"] == 2 * 16 + 4
+    shutil.rmtree(store)
+
+
 def test_minhash_bucket_cap_warns(ray_session):
     # the cap helper warns (Ray forwards worker warnings to its logs; pin
     # the warning at the helper level where pytest can observe it)
