@@ -147,6 +147,40 @@ def test_ingest_chunks_crash_recovery(tmp_path, ray_session):
     shutil.rmtree(store)
 
 
+@pytest.mark.parametrize("mode", ["manual", "twolevel"])
+def test_raw_exchanges_schema_changing_kernel(ray_session, monkeypatch, mode):
+    # empty partitions must produce NO block (sort-path semantics): a
+    # kernel that CHANGES the schema would otherwise emit an input-schema
+    # empty block and poison downstream unification (round-5 twolevel bug)
+    from pytimetk_ray.exec import partitioned_group_map
+
+    monkeypatch.setenv("GRAFT_EXCHANGE", mode)
+    monkeypatch.setenv("GRAFT_COARSE", "3")
+    monkeypatch.setenv("GRAFT_MERGE_GROUP", "2")
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 200), "v": rng.normal(size=200)})
+
+    def kern(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("k", sort=False)["v"]
+        return pd.DataFrame({"k": g.sum().index.to_numpy(),
+                             "total": g.sum().to_numpy(),
+                             "n": g.size().to_numpy()})
+
+    out = partitioned_group_map(
+        rd.from_pandas(df, override_num_blocks=7), ["k"], kern,
+        num_partitions=32)  # 4 keys over 32 partitions -> mostly empty
+    res = out.select_columns(["k", "total", "n"]).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False).agg(total=("v", "sum"),
+                                               n=("v", "size"))
+    np.testing.assert_array_equal(res["k"].to_numpy(), want["k"].to_numpy())
+    np.testing.assert_array_equal(res["n"].to_numpy(), want["n"].to_numpy())
+    # no total-order sort column here, so summation order is exchange-
+    # dependent — value equality only (the oracle queries sort by (key, ts)
+    # and ARE bit-checked across all three exchanges by check_oracle)
+    np.testing.assert_allclose(res["total"].to_numpy(), want["total"].to_numpy())
+
+
 def test_minhash_bucket_cap_warns(ray_session):
     # the cap helper warns (Ray forwards worker warnings to its logs; pin
     # the warning at the helper level where pytest can observe it)
