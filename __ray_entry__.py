@@ -1860,32 +1860,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         snap = _events(sf_dir).map_batches(snap_filter, batch_format="pandas")
         return asof_join(ev, snap, by="user_id", on="ts")
 
-    # Round-4 driver window (first 50, reordered at the bottom of this
-    # function): slots 1-3 = the three round-3 driver reds, now fixed
-    # (type-canonical oracles + tiebreaker sort) — kept in-window to prove
-    # the fix; 4-8 = this round's new/changed code (holiday 4-country,
-    # rolling quantile, capped minhash, wide-hash spans, bigram gather);
-    # 9-50 = round-1/2 greens displaced by earlier windows, never or
-    # longest-un-driver-verified (funnel/cohort/sketch/csv/ANN/ingest...).
-    # Everything else stays regression-guarded by scripts/check_oracle.
-    _WINDOW_R4 = [
-        "sessions", "spline_sql", "ts_features",
-        "holiday_signature_4ctry", "rolling_quantile", "dedup_minhash",
-        "dedup_spans", "doc_bigram_logprob",
-        "fin_risk_bench", "fin_risk_log", "holiday_signature_multi",
-        "cv_folds_backward", "bpe_tokenize", "dsir_resample",
-        "summarize_csv_source", "funnel_stages", "dedup_editdist",
-        "docs_cube", "funnel_ttc", "cohort_retention", "vocab_topk_sketch",
-        "events_ndistinct", "tfidf_topk", "pii_redact", "conv_stats",
-        "conv_windows", "doc_hash_sample", "quality_quantile_filter",
-        "week_of_month", "drop_zero_variance", "expanding_apply",
-        "quantile_sketch", "doc_stop_ratio", "weekday_sequence",
-        "weekend_sequence", "augment_pct_change", "embedding_neardup_lsh",
-        "tier_ingest_1h", "embedding_neardup", "ann_ivf_full",
-        "tier_expire_1h", "ann_topk", "summarize_by_time_hour",
-        "summarize_by_time_day_type", "summarize_by_time_month",
-        "filter_by_time", "summarize_wide", "reduce_memory",
-        "doc_ccnet_buckets", "dedup_cluster_reps",
+    # Round-5 driver window (first 50, reordered at the bottom of this
+    # function): slots 1-7 = this round's new/changed code (tier_compact_1h
+    # + doc_sample_mixture were oracled-but-never-driver-checked; KR/CN/ZA
+    # holidays and the events_ndistinct HLL oracle are new; dedup_minhash /
+    # dedup_editdist oracles gained the bucket-cap mirror; tier_ingest_1h
+    # now auto-compacts); 8-17 = the ten never-windowed rows-only-by-nature
+    # queries so cumulative driver coverage reaches 146/146; 18-50 = the
+    # longest-parked greens (last driver-verified in round 2).  augment_leads
+    # / augment_diffs stay out (trivial variants of in-window augment_lags);
+    # everything else stays regression-guarded by scripts/check_oracle.
+    _WINDOW_R5 = [
+        "tier_compact_1h", "doc_sample_mixture", "holiday_signature_kr_cn_za",
+        "events_ndistinct", "dedup_minhash", "dedup_editdist",
+        "tier_ingest_1h",
+        "multimodal_pipeline", "fin_regime", "diag_acf", "diag_stl",
+        "hilbert", "corr_funnel", "spline", "wavelet", "ts_features_full",
+        "ts_features_het",
+        "augment_lags", "augment_rolling", "augment_expanding",
+        "augment_ewm", "pad_by_time_daily", "pad_by_time_monthly",
+        "ts_summary", "future_frame", "signature", "apply_by_time_range",
+        "anomalize_sql", "anomalize_stl", "fourier", "tier_rollup_1h",
+        "tier_query_1h", "tpch_q1", "dedup_exact", "doc_token_count",
+        "doc_fingerprint", "vocab_topk", "doc_hash_split",
+        "docs_topk_per_lang", "pack_sequences", "doc_unigram_logprob",
+        "prep_composite", "decontaminate", "doc_repetition", "doc_quality",
+        "doc_langid", "dedup_jaccard", "dedup_jaccard_dfcut",
+        "dedup_clusters", "dedup_simhash",
     ]
     _all = {
         "fin_roc_drawdown": fin_roc_drawdown,
@@ -2038,9 +2039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_features_full": ts_features_full,
         "ts_features_het": ts_features_het,
     }
-    assert len(_WINDOW_R4) == 50 and all(k in _all for k in _WINDOW_R4)
-    return {**{k: _all[k] for k in _WINDOW_R4},
-            **{k: v for k, v in _all.items() if k not in set(_WINDOW_R4)}}
+    assert len(_WINDOW_R5) == 50 and all(k in _all for k in _WINDOW_R5)
+    return {**{k: _all[k] for k in _WINDOW_R5},
+            **{k: v for k, v in _all.items() if k not in set(_WINDOW_R5)}}
 
 
 # --- oracle SQL -------------------------------------------------------------
