@@ -166,18 +166,25 @@ def partitioned_group_map(
 
 
 def _EXCHANGE_MODE() -> str:
-    """Exchange strategy for partitioned_group_map: 'sort' (default — Ray's
-    range/sort shuffle on __part__), 'manual' (raw-Ray split/concat
-    exchange, env GRAFT_EXCHANGE=manual), or 'twolevel' (node-then-core
-    hierarchical exchange, env GRAFT_EXCHANGE=twolevel).  The non-default
-    paths exist for the A/Bs in BASELINE.md: the sort shuffle pays boundary
-    sampling + an in-block sort that _group_sort re-does per partition
-    anyway; the single-level alternatives pay O(maps x reducers)
-    intermediate objects, which twolevel cuts to O(maps x nodes +
-    maps/G x reducers)."""
+    """Exchange strategy for partitioned_group_map: 'twolevel' (default —
+    node-then-core hierarchical exchange), 'sort' (Ray's range/sort shuffle
+    on __part__, env GRAFT_EXCHANGE=sort), or 'manual' (single-level raw-Ray
+    split/concat, env GRAFT_EXCHANGE=manual).
+
+    twolevel became the default in round 5 BY MEASUREMENT (BASELINE.md):
+    interleaved same-session A/Bs on a quiet host showed it ~12-25% faster
+    on the tier cascade at sf0.1 AND sf1 (101 vs 137 s at 255M turns, zero
+    spills) and ~2x faster across six per-group operators (rolling, lags,
+    pad, ewm, m4, dedup_lines) — the sort shuffle pays boundary sampling
+    plus an in-block sort that _group_sort re-does per partition anyway.
+    vs 'manual' (round-4's single-level prototype, a wash at sf0.1 and
+    >1.4x WORSE at sf1): twolevel cuts intermediate objects from
+    O(maps x reducers) to O(maps x nodes + maps/G x reducers) and reducer
+    fan-in from M to ceil(M/G), which is also why it holds at 100 TB where
+    single-level exchanges explode."""
     import os
 
-    return os.environ.get("GRAFT_EXCHANGE", "sort")
+    return os.environ.get("GRAFT_EXCHANGE", "twolevel")
 
 
 def _manual_exchange_map(tagged: rd.Dataset, num_partitions: int,
@@ -270,9 +277,11 @@ def _twolevel_exchange_map(tagged: rd.Dataset, num_partitions: int,
        merge tasks — fan-in ceil(M/G) instead of M — and runs the kernel.
 
     Object count: M*N + ceil(M/G)*P  vs  single-level M*P; reducer fan-in
-    ceil(M/G) vs M.  At this sandbox's M (tens of blocks) the extra hop is
-    pure overhead — the A/B in BASELINE.md records the measurement; the
-    path exists so the 100x-scale design is running code, not prose.
+    ceil(M/G) vs M.  Measured FASTER than the sort shuffle at this
+    sandbox's scale too (BASELINE.md round 5: ~12-25% on the cascade at
+    sf0.1/sf1, ~2x on the operator suite), so it is the default; the same
+    object-count arithmetic is what keeps it alive at 100 TB where
+    single-level exchanges explode.
 
     Env knobs: GRAFT_COARSE (default 4 — emulates 4 nodes at num_cpus=32),
     GRAFT_MERGE_GROUP (default 8 maps per merge task).
