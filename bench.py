@@ -395,34 +395,82 @@ def run_sf1(num_cpus: int) -> dict:
     casc = round(time.time() - t0, 3)
     points = int(sum(m["row_count"].sum() for m in res.values()))
     pts_1m = int(res["1m"]["row_count"].sum())
-    t1 = time.time()
-    rd.read_parquet(os.path.join(out_dir, "tier=1m")).map_batches(
-        TierEncoder, fn_constructor_kwargs=dict(tier="1m"),
-        batch_format="pandas", batch_size=None,
-        concurrency=max(num_cpus // 2, 1),
-    ).count()
-    enc = round(time.time() - t1, 3)
+    if os.environ.get("GRAFT_BENCH_SF1_NO_ENCODE"):
+        enc = None  # scaling mode times the cascade only
+    else:
+        t1 = time.time()
+        rd.read_parquet(os.path.join(out_dir, "tier=1m")).map_batches(
+            TierEncoder, fn_constructor_kwargs=dict(tier="1m"),
+            batch_format="pandas", batch_size=None,
+            concurrency=max(num_cpus // 2, 1),
+        ).count()
+        enc = round(time.time() - t1, 3)
     shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
     ray.shutdown()
     return {
         "metric": "sf1_cascade_seconds",
         "value": casc,
         "unit": "sec",
-        "queries": {"sf1_cascade": casc, "sf1_encode_1m": enc},
+        "queries": ({"sf1_cascade": casc} if enc is None
+                    else {"sf1_cascade": casc, "sf1_encode_1m": enc}),
         "sf1_turns": int(n_turns),
         "sf1_rolledup_points": points,
         "sf1_points_per_sec": round(points / casc, 1),
         "sf1_turns_per_sec": round(n_turns / casc, 1),
-        "sf1_encode_points_per_sec": round(pts_1m / enc, 1),
+        **({} if enc is None
+           else {"sf1_encode_points_per_sec": round(pts_1m / enc, 1)}),
         "sf": SF1_PATH,
         "num_cpus": num_cpus,
+    }
+
+
+def run_scaling_sf1() -> dict:
+    """The sf1 (255M-turn) scaling point: the identical sf1 cascade plan at
+    two parallelism levels in FRESH processes, best-of-N per level.  This is
+    the scale where the keyed exchange carries full-node memory pressure, so
+    it is the honest place to evidence the >=0.8 N->4N criterion."""
+    ensure_sf1_corpus()  # generate OUTSIDE the timed runs
+    levels = tuple(int(x) for x in os.environ.get(
+        "GRAFT_BENCH_LEVELS", "8,32").split(","))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    out = {}
+    for ncpu in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SF1_NO_ENCODE="1")
+        best = None
+        for _ in range(repeats):
+            r = subprocess.run([sys.executable, __file__, "--sf1"], env=env,
+                               capture_output=True, text=True, check=True)
+            cand = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or (cand["queries"]["sf1_cascade"]
+                                < best["queries"]["sf1_cascade"]):
+                best = cand
+        out[ncpu] = best
+    t_lo = out[levels[0]]["queries"]["sf1_cascade"]
+    t_hi = out[levels[1]]["queries"]["sf1_cascade"]
+    eff = (t_lo / t_hi) / (levels[1] / levels[0])
+    return {
+        "metric": "sf1_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"sf1_cascade_sec_cpus{levels[0]}": t_lo,
+                    f"sf1_cascade_sec_cpus{levels[1]}": t_hi},
+        "points_per_sec": {
+            str(levels[0]): out[levels[0]]["sf1_points_per_sec"],
+            str(levels[1]): out[levels[1]]["sf1_points_per_sec"],
+        },
+        "sf1_turns": out[levels[1]]["sf1_turns"],
+        "sf": SF1_PATH,
+        "num_cpus": levels[1],
     }
 
 
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-sf1" in sys.argv:
+        result = run_scaling_sf1()
+    elif "--scaling" in sys.argv:
         result = run_scaling()
     elif "--sf1" in sys.argv:
         result = run_sf1(num_cpus)

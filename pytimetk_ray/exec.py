@@ -294,7 +294,18 @@ def _twolevel_exchange_map(tagged: rd.Dataset, num_partitions: int,
     import ray
 
     P = num_partitions
-    N = max(1, min(int(os.environ.get("GRAFT_COARSE", "4")), P))
+    coarse_env = os.environ.get("GRAFT_COARSE")
+    if coarse_env is not None:
+        N = int(coarse_env)
+    else:
+        # Cluster-aware default: one coarse bucket per ALIVE node, so level-1
+        # shards align with node boundaries and level-2 merges stay
+        # node-local (that alignment is the whole point of the hierarchy).
+        # Single-node (this sandbox) keeps the A/B-measured 4 — emulated
+        # "nodes" — because N=1 would degenerate level 1 to a no-op.
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+        N = alive if alive > 1 else 4
+    N = max(1, min(N, P))
     G = max(1, int(os.environ.get("GRAFT_MERGE_GROUP", "8")))
     F = -(-P // N)  # fine slots per coarse bucket
 

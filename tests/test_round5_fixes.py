@@ -202,3 +202,52 @@ def test_minhash_bucket_cap_warns(ray_session):
                               num_partitions=2).to_pandas()
     assert pairs["id_b"].max() < 10
     assert len(pairs) == 45  # C(10,2)
+
+
+@pytest.mark.parametrize("coarse,group", [
+    ("1", "1"),    # level 1 degenerates to a no-op; every merge is 1 map
+    ("1", "64"),   # one merge task sees ALL maps
+    ("64", "8"),   # N > P: must clamp to P fine=1-slot buckets
+    (None, "8"),   # GRAFT_COARSE unset: cluster-aware default branch
+])
+def test_twolevel_knob_edges(ray_session, monkeypatch, coarse, group):
+    # every (N, G) corner must agree bit-for-bit with the sort path on a
+    # total-order kernel (sorted inside the kernel -> summation order fixed)
+    from pytimetk_ray.exec import partitioned_group_map
+
+    monkeypatch.setenv("GRAFT_EXCHANGE", "twolevel")
+    if coarse is None:
+        monkeypatch.delenv("GRAFT_COARSE", raising=False)
+    else:
+        monkeypatch.setenv("GRAFT_COARSE", coarse)
+    monkeypatch.setenv("GRAFT_MERGE_GROUP", group)
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 500),
+        "t": rng.permutation(500),
+        "v": rng.normal(size=500),
+    })
+
+    def kern(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["k", "t"])
+        g = part.groupby("k", sort=True)["v"]
+        return pd.DataFrame({"k": g.sum().index.to_numpy(),
+                             "total": g.sum().to_numpy()})
+
+    out = partitioned_group_map(
+        rd.from_pandas(df, override_num_blocks=7), ["k"], kern,
+        num_partitions=16,
+    ).select_columns(["k", "total"]).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+
+    monkeypatch.setenv("GRAFT_EXCHANGE", "sort")
+    want = partitioned_group_map(
+        rd.from_pandas(df, override_num_blocks=7), ["k"], kern,
+        num_partitions=16,
+    ).select_columns(["k", "total"]).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+
+    np.testing.assert_array_equal(out["k"].to_numpy(), want["k"].to_numpy())
+    np.testing.assert_array_equal(
+        out["total"].to_numpy().view(np.uint64),
+        want["total"].to_numpy().view(np.uint64))
