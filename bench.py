@@ -369,28 +369,54 @@ def run_cascade_only(sf_dir: str, num_cpus: int) -> dict:
 def run_sf1(num_cpus: int) -> dict:
     """Generate (once) + run ONLY the sf1 cascade/encode — the 10x memory
     demonstration.  Also leaves the cached corpus so the default suite
-    includes the sf1 rows afterwards."""
+    includes the sf1 rows afterwards.
+
+    Cluster-emulation knobs (used by --scaling-sf1; see BASELINE.md):
+      GRAFT_BENCH_SF1_FRACTION  read only the first fraction of the 80 shard
+                                files (weak scaling: data proportional to the
+                                emulated cluster size), with blocks and
+                                exchange partitions scaled to match
+      GRAFT_BENCH_STORE_GB      explicit object_store_memory — a cluster 4x
+                                smaller has 4x less aggregate store, which
+                                the default (fixed 30% of HOST ram at every
+                                num_cpus) silently hides
+    """
+    import glob as _glob
     import shutil
 
     import ray
     import ray.data as rd
 
     ensure_sf1_corpus()
+    store_gb = os.environ.get("GRAFT_BENCH_STORE_GB")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             **({"object_store_memory": int(float(store_gb) * 2**30)}
+                if store_gb else {}))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     from pytimetk_ray.pipelines.tiers import rollup_tiers
     from pytimetk_ray.stages.tier_encoder import TierEncoder
 
-    n_turns = rd.read_parquet(SF1_PATH).count()
+    frac = float(os.environ.get("GRAFT_BENCH_SF1_FRACTION", "1"))
+    if frac < 1:
+        # the corpus is 80 equal conversation shards: the first round(80*f)
+        # files ARE a f-fraction corpus of identical shape
+        shards = sorted(_glob.glob(os.path.join(SF1_PATH, "*.parquet")))
+        inp = shards[:max(1, round(len(shards) * frac))]
+        n_blocks = max(1, round(160 * frac))
+        n_parts = max(1, round(64 * frac))
+    else:
+        inp, n_blocks, n_parts = SF1_PATH, 160, 64
+
+    n_turns = rd.read_parquet(inp).count()
     out_dir = os.path.join(tempfile.mkdtemp(prefix="bench_sf1_"), "t")
     t0 = time.time()
-    ds = rd.read_parquet(SF1_PATH, columns=["conv_id", "ts", "value"],
-                         override_num_blocks=160)
+    ds = rd.read_parquet(inp, columns=["conv_id", "ts", "value"],
+                         override_num_blocks=n_blocks)
     res = rollup_tiers(ds, out_dir=out_dir, key="conv_id", date_column="ts",
-                       value_column="value", num_partitions=64,
+                       value_column="value", num_partitions=n_parts,
                        input_fingerprint="sf1", resume=False)
     casc = round(time.time() - t0, 3)
     points = int(sum(m["row_count"].sum() for m in res.values()))
@@ -425,18 +451,42 @@ def run_sf1(num_cpus: int) -> dict:
 
 
 def run_scaling_sf1() -> dict:
-    """The sf1 (255M-turn) scaling point: the identical sf1 cascade plan at
-    two parallelism levels in FRESH processes, best-of-N per level.  This is
-    the scale where the keyed exchange carries full-node memory pressure, so
-    it is the honest place to evidence the >=0.8 N->4N criterion."""
+    """The sf1 (255M-turn) scaling point: the sf1 cascade at two emulated
+    cluster sizes in FRESH processes, best-of-N per level.  This is the scale
+    where the keyed exchange carries full-node memory pressure, so it is the
+    honest place to evidence the >=0.8 N->4N criterion.
+
+    GRAFT_BENCH_SF1_MODE picks what "a 4x-smaller cluster" means on one box:
+      strong (default)  same FULL input at both levels, host-default store
+                        at both — the north rule's criterion verbatim
+                        ("same job, same input, two parallelism levels").
+                        Efficiency = speedup / cpu-ratio.
+      weak              data AND object store proportional to cpus.  Sounds
+                        like the better cluster proxy, but MEASURED
+                        misleading on one box (BASELINE.md round 5): the
+                        8-cpu quarter-corpus run enjoys the whole socket's
+                        memory BANDWIDTH for a quarter of the exchange
+                        traffic, while the 32-cpu full run sits in the
+                        full-node memory-pressure regime — per-core
+                        throughput ratio 0.17-0.4 that says nothing about
+                        scheduler scaling (a real 4x cluster adds bandwidth
+                        with the nodes).  Kept for the record.
+                        Efficiency = per-core throughput ratio (ideal 1.0).
+    """
     ensure_sf1_corpus()  # generate OUTSIDE the timed runs
+    mode = os.environ.get("GRAFT_BENCH_SF1_MODE", "strong")
     levels = tuple(int(x) for x in os.environ.get(
         "GRAFT_BENCH_LEVELS", "8,32").split(","))
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    base_store_gb = float(os.environ.get("GRAFT_BENCH_BASE_STORE_GB", "37.6"))
     out = {}
     for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_SF1_NO_ENCODE="1")
+        if mode == "weak":
+            f = ncpu / levels[-1]
+            env["GRAFT_BENCH_SF1_FRACTION"] = str(f)
+            env["GRAFT_BENCH_STORE_GB"] = str(base_store_gb * f)
         best = None
         for _ in range(repeats):
             r = subprocess.run([sys.executable, __file__, "--sf1"], env=env,
@@ -446,22 +496,30 @@ def run_scaling_sf1() -> dict:
                                 < best["queries"]["sf1_cascade"]):
                 best = cand
         out[ncpu] = best
-    t_lo = out[levels[0]]["queries"]["sf1_cascade"]
-    t_hi = out[levels[1]]["queries"]["sf1_cascade"]
-    eff = (t_lo / t_hi) / (levels[1] / levels[0])
+    lo, hi = levels[0], levels[-1]
+    t_lo = out[lo]["queries"]["sf1_cascade"]
+    t_hi = out[hi]["queries"]["sf1_cascade"]
+    if mode == "weak":
+        # per-core throughput at the big level / per-core at the small level
+        eff = ((out[hi]["sf1_points_per_sec"] / hi)
+               / (out[lo]["sf1_points_per_sec"] / lo))
+    else:
+        eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "sf1_scaling_efficiency",
+        "metric": f"sf1_scaling_efficiency_{mode}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "queries": {f"sf1_cascade_sec_cpus{levels[0]}": t_lo,
-                    f"sf1_cascade_sec_cpus{levels[1]}": t_hi},
+        "queries": {f"sf1_cascade_sec_cpus{lo}": t_lo,
+                    f"sf1_cascade_sec_cpus{hi}": t_hi},
         "points_per_sec": {
-            str(levels[0]): out[levels[0]]["sf1_points_per_sec"],
-            str(levels[1]): out[levels[1]]["sf1_points_per_sec"],
+            str(lo): out[lo]["sf1_points_per_sec"],
+            str(hi): out[hi]["sf1_points_per_sec"],
         },
-        "sf1_turns": out[levels[1]]["sf1_turns"],
+        "turns": {str(lo): out[lo]["sf1_turns"],
+                  str(hi): out[hi]["sf1_turns"]},
+        "mode": mode,
         "sf": SF1_PATH,
-        "num_cpus": levels[1],
+        "num_cpus": hi,
     }
 
 
